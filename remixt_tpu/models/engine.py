@@ -1,0 +1,649 @@
+"""TPU-native variational inference engine.
+
+Functional JAX re-design of the reference inference core
+(/root/reference/remixt/bpmodel.pyx:397-1210). Same math, different
+architecture:
+
+* **Factored state space.** Segments fall into a handful of *classes*
+  (distinct germline copy-number rows: (1,1) autosome, (1,0) male X, (0,0)
+  no-contamination). The (N, S, M, 2) state tensor is never materialized;
+  per-class (C, S, ...) planes are gathered by a per-segment class id.
+
+* **Transition banks.** The per-pair (S, S) transition log-weight matrices
+  take only ``1 + C² + 2K`` distinct values: the zero matrix (telomere
+  boundaries), one matrix per class pair (plain adjacencies), and one per
+  breakend (dependent on the variational breakpoint distribution q(brk)).
+  The forward-backward scan gathers from this bank — O(N·S) live state
+  versus the reference's O(N·S²) materialization (bpmodel.pyx:558, the
+  32 GB fit jobs of workflow.py:331).
+
+* **Bank-indexed pairwise statistics.** Pairwise posterior marginals are
+  never stored; every consumer (breakpoint update, ELBO energy/entropy)
+  needs only contractions of xi against bank matrices, so a single chunked
+  pass accumulates ``Acc[b] = Σ_{pairs using bank b} xi_n`` and each
+  consumer contracts Acc with the bank it cares about. Breakend slots of
+  Acc are exactly the per-breakend joint marginals.
+
+* **MXU-shaped contractions.** Total-copy-number penalty matrices are built
+  as one-hot einsum chains (E₁ᵀ·W·E₂ with E the S×T state-total one-hot),
+  turning the reference's scalar histogram loops (bpmodel.pyx:619-684)
+  into batched matmuls.
+
+All update functions are pure: ``(spec, params, state) -> state`` pytree
+transforms, jit/vmap/shard_map-compatible. Restart fan-out vmaps over
+``params``/``state``; the spec (static per problem) is closed over.
+
+Emission special cases (hdel / LOH / masks / zero-count segments) follow
+bpmodel.pyx:751-853 exactly, encoded as precomputed boolean planes and
+double-where guards so ``jax.grad`` stays NaN-free.
+"""
+
+import functools
+from typing import NamedTuple, Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from remixt_tpu.models import states as states_mod
+from remixt_tpu.ops import fb_scan
+from remixt_tpu.ops.special import (
+    logsumexp, exp_normalize, plogp,
+    negbin_log_likelihood, betabin_log_likelihood,
+)
+
+
+class Params(NamedTuple):
+    """Per-restart model parameters (traced; vmapped over restarts).
+
+    Likelihood parameter names and init values follow bpmodel.pyx:586-597.
+    Masks and divergence weight live here because they vary per restart
+    (max_depth differs across initializations — analysis/pipeline.py:85-103).
+    """
+    h: Any                       # (M,) haploid read depths
+    negbin_r_0: Any
+    negbin_r_1: Any
+    negbin_hdel_mu: Any
+    negbin_hdel_r_0: Any
+    negbin_hdel_r_1: Any
+    betabin_M_0: Any
+    betabin_M_1: Any
+    betabin_loh_p: Any
+    betabin_loh_M_0: Any
+    betabin_loh_M_1: Any
+    divergence_weight: Any       # scalar
+    total_mask: Any              # (N,) float 0/1
+    allele_mask: Any             # (N,) float 0/1
+
+
+class VState(NamedTuple):
+    """Variational distributions + cached chain quantities.
+
+    ``chain_scale`` is 0 before the first chain update: the stored
+    framelogprob/alphas/betas then reproduce the reference's construction-time
+    state (framelogprob of ones, zero transition matrices, uniform joint
+    marginals — bpmodel.pyx:556-567) so the initial ELBO matches exactly.
+    """
+    p_breakpoint: Any            # (K, B)
+    p_breakpoint_used: Any       # (K, B) value used by the last chain update
+    posterior_marginals: Any     # (N, S)
+    alphas: Any                  # (N, S)
+    betas: Any                   # (N, S)
+    framelogprob: Any            # (N, S)
+    hmm_log_norm_const: Any      # scalar
+    chain_scale: Any             # scalar 0.0 / 1.0
+    p_allele_swap: Any           # (N, 2)
+    p_outlier_total: Any         # (N, 2)
+    p_outlier_allele: Any        # (N, 2)
+
+
+class ModelSpec:
+    """Static per-problem data: state space, chain structure, data vectors.
+
+    Host-built from the same construction arguments as the reference
+    RemixtModel (bpmodel.pyx:461-604). Arrays are jnp device constants; engine
+    functions close over the spec so XLA treats them as compile-time
+    constants.
+    """
+
+    def __init__(self,
+                 cn_states,            # (N, S, M, 2) int
+                 brk_states,           # (B, M) int
+                 l, x, y,              # (N,), (N,), (N,2)
+                 is_telomere,          # (N,)
+                 breakpoint_idx,       # (N,)
+                 breakpoint_orient,    # (N,)
+                 transition_penalty,
+                 normal_contamination,
+                 transition_model=0,
+                 dtype=jnp.float32,
+                 xi_chunk=256):
+        cn_states = np.asarray(cn_states, dtype=np.int64)
+        brk_states = np.asarray(brk_states, dtype=np.int64)
+        N, S, M, _ = cn_states.shape
+        B = brk_states.shape[0]
+        is_telomere = np.asarray(is_telomere, dtype=np.int64)
+        breakpoint_idx = np.asarray(breakpoint_idx, dtype=np.int64)
+        breakpoint_orient = np.asarray(breakpoint_orient, dtype=np.int64)
+
+        self.N, self.S, self.M, self.B = N, S, M, B
+        self.K = int(breakpoint_idx.max() + 1) if np.any(breakpoint_idx >= 0) else 0
+        self.cn_max = int(max(cn_states.max(), brk_states.max()))
+        self.normal_contamination = bool(normal_contamination)
+        self.transition_model = int(transition_model)
+        self.transition_penalty = float(abs(transition_penalty))
+        self.dtype = dtype
+        self.xi_chunk = int(xi_chunk)
+
+        assert not np.any((breakpoint_idx >= 0) & (is_telomere == 1))
+
+        # ---- segment classes: distinct state tensors -----------------------
+        # The tumour block must be shared; only the normal row varies
+        # (cn_model.py:354-364 constructs states this way).
+        tumour = cn_states[:, :, 1:, :]
+        assert np.all(tumour == tumour[0]), 'tumour state block must be segment-invariant'
+        normal_rows = cn_states[:, 0, 0, :]  # (N, 2)
+        uniq_rows, seg_class = np.unique(normal_rows, axis=0, return_inverse=True)
+        C = uniq_rows.shape[0]
+        self.C = C
+        self.seg_class_np = seg_class.astype(np.int32)
+
+        class_cn = np.zeros((C, S, M, 2), dtype=np.int64)
+        class_cn[:, :, 1:, :] = tumour[0][None]
+        class_cn[:, :, 0, :] = uniq_rows[:, None, :]
+        self.class_cn_np = class_cn
+        class_total = class_cn.sum(axis=-1)          # (C, S, M)
+        self.class_total_np = class_total
+
+        ind = states_mod.state_indicators(class_cn)
+        class_is_hdel = ind['is_hdel'].astype(bool)  # (C, S)
+        class_is_loh = ind['is_loh'].astype(bool)
+        # subclonality depends only on the tumour block (bpmodel.pyx:505)
+        self.num_alleles_subclonal = jnp.asarray(
+            ind['num_alleles_subclonal'][0], dtype=dtype)  # (S,)
+
+        nc = self.normal_contamination
+        hdel_override = class_is_hdel[seg_class] if not nc else np.zeros((N, S), dtype=bool)   # (N, S)
+        loh_override = class_is_loh[seg_class] if not nc else np.zeros((N, S), dtype=bool)     # (N, S)
+        self.hdel_override = jnp.asarray(hdel_override)
+        self.loh_override = jnp.asarray(loh_override)
+        self.is_hdel_plane = jnp.asarray(class_is_hdel[seg_class])
+        self.is_loh_plane = jnp.asarray(class_is_loh[seg_class])
+
+        # ---- chain structure ----------------------------------------------
+        self.seg_class = jnp.asarray(seg_class, dtype=jnp.int32)
+        self.is_telomere = jnp.asarray(is_telomere)
+        self.breakpoint_idx_np = breakpoint_idx
+        self.breakpoint_orient_np = breakpoint_orient
+
+        be_n = np.where(breakpoint_idx[:N - 1] >= 0)[0]
+        # breakends on the final segment have no following pair; the reference
+        # transition loop also ignores them (bpmodel.pyx:648: n < N-1)
+        self.J = J = be_n.shape[0]
+        self.be_n = jnp.asarray(be_n, dtype=jnp.int32)
+        self.be_k = jnp.asarray(breakpoint_idx[be_n], dtype=jnp.int32)
+        be_orient01 = (breakpoint_orient[be_n] > 0).astype(np.int32)
+        self.be_orient01 = jnp.asarray(be_orient01)
+        self.be_c1 = jnp.asarray(seg_class[be_n], dtype=jnp.int32)
+        self.be_c2 = jnp.asarray(seg_class[be_n + 1], dtype=jnp.int32)
+
+        # ---- transition tables --------------------------------------------
+        T = self.cn_max + 1                        # total copy values 0..cn_max
+        D = self.cn_max + 1                        # |d| <= cn_max; range pads ±1
+        d_vals = np.arange(-D, D + 1)              # (Dn,) Dn = 2*cn_max+3
+        self.T, self.Dn = T, d_vals.shape[0]
+
+        def f_trans(dv):
+            if self.transition_model == 0:
+                return np.abs(dv).astype(np.float64)
+            return (dv != 0).astype(np.float64)
+
+        # F[o, m, d, b] = f(d - orient_o * brk_states[b, m]), orient −1/+1
+        orient_vals = np.array([-1, 1])
+        F = f_trans(d_vals[None, None, :, None]
+                    - orient_vals[:, None, None, None] * brk_states.T[None, :, None, :])
+        self.F = jnp.asarray(F, dtype=dtype)       # (2, M, Dn, B)
+
+        # dsel[t1, t2] = index of (t1 - t2) in d_vals
+        t = np.arange(T)
+        self.dsel = jnp.asarray(t[:, None] - t[None, :] + D, dtype=jnp.int32)  # (T, T)
+
+        # didx_onehot[t1, t2, d] = 1 when t1 - t2 == d_vals[d]
+        didx = np.zeros((T, T, self.Dn))
+        didx[t[:, None].repeat(T, 1), t[None, :].repeat(T, 0), t[:, None] - t[None, :] + D] = 1.0
+        self.didx_onehot = jnp.asarray(didx, dtype=dtype)
+
+        # Ecls[c, m, s, t] = 1 when class_total[c, s, m] == t
+        Ecls = np.zeros((C, M, S, T))
+        cc, ss, mm = np.meshgrid(np.arange(C), np.arange(S), np.arange(M), indexing='ij')
+        Ecls[cc.transpose(0, 2, 1), mm.transpose(0, 2, 1), ss.transpose(0, 2, 1),
+             class_total.transpose(0, 2, 1)] = 1.0
+        self.Ecls = jnp.asarray(Ecls, dtype=dtype)
+
+        # ---- static bank: telomere zeros + per-class-pair plain matrices ---
+        tp = self.transition_penalty
+        # allele-consistency term (bpmodel.pyx:670-684), per class pair
+        A = np.zeros((C, C, S, S))
+        P = np.zeros((C, C, S, S))
+        for c1 in range(C):
+            for c2 in range(C):
+                dT = class_total[c1][:, None, :] - class_total[c2][None, :, :]
+                total_term = f_trans(dT).sum(axis=-1)
+                cn1 = class_cn[c1]
+                cn2 = class_cn[c2]
+                noflip = f_trans(cn1[:, None, :, :] - cn2[None, :, :, :]).sum(axis=(-2, -1))
+                flip = f_trans(cn1[:, None, :, :] - cn2[None, :, :, ::-1]).sum(axis=(-2, -1))
+                A[c1, c2] = -tp * np.minimum(noflip - total_term, flip - total_term)
+                P[c1, c2] = -tp * total_term
+        self.A = jnp.asarray(A, dtype=dtype)       # (C, C, S, S)
+
+        static_bank = np.zeros((1 + C * C, S, S))
+        static_bank[1:] = (A + P).reshape(C * C, S, S)
+        self.static_bank = jnp.asarray(static_bank, dtype=dtype)
+        self.num_static_bank = 1 + C * C
+        self.num_bank = self.num_static_bank + J
+
+        bank_idx = np.zeros(N - 1, dtype=np.int32)
+        plain = (is_telomere[:N - 1] == 0) & (breakpoint_idx[:N - 1] < 0)
+        bank_idx[plain] = 1 + seg_class[:N - 1][plain] * C + seg_class[1:][plain]
+        bank_idx[be_n] = self.num_static_bank + np.arange(J)
+        self.bank_idx = jnp.asarray(bank_idx)
+        self.bank_idx_np = bank_idx
+
+        # ---- data ----------------------------------------------------------
+        self.l = jnp.asarray(l, dtype=dtype)
+        self.x = jnp.asarray(x, dtype=dtype)
+        self.y = jnp.asarray(y, dtype=dtype)
+        self.total_reads = jnp.asarray(np.asarray(y).sum(axis=-1), dtype=dtype)
+
+        self.brk_states = jnp.asarray(brk_states, dtype=jnp.int32)
+        self.prior_outlier_total = 0.01
+        self.prior_outlier_allele = 0.01
+
+        self._ctf = jnp.asarray(class_total, dtype=dtype)
+        self._cmf = jnp.asarray(class_cn[:, :, :, 0], dtype=dtype)
+
+        self._jit_cache = {}
+
+    # -- initial pytrees -----------------------------------------------------
+
+    def init_params(self, h_init, divergence_weight,
+                    total_mask=None, allele_mask=None):
+        dt = self.dtype
+        ones = jnp.ones(self.N, dtype=dt)
+        return Params(
+            h=jnp.asarray(h_init, dtype=dt),
+            negbin_r_0=jnp.asarray(500.0, dt),
+            negbin_r_1=jnp.asarray(10.0, dt),
+            negbin_hdel_mu=jnp.asarray(1e-5, dt),
+            negbin_hdel_r_0=jnp.asarray(10.0, dt),
+            negbin_hdel_r_1=jnp.asarray(1.0, dt),
+            betabin_M_0=jnp.asarray(500.0, dt),
+            betabin_M_1=jnp.asarray(10.0, dt),
+            betabin_loh_p=jnp.asarray(1e-3, dt),
+            betabin_loh_M_0=jnp.asarray(10.0, dt),
+            betabin_loh_M_1=jnp.asarray(1.0, dt),
+            divergence_weight=jnp.asarray(abs(divergence_weight), dt),
+            total_mask=(ones if total_mask is None
+                        else jnp.asarray(total_mask, dtype=dt)),
+            allele_mask=(ones if allele_mask is None
+                         else jnp.asarray(allele_mask, dtype=dt)),
+        )
+
+    def init_state(self, p_breakpoint=None):
+        dt = self.dtype
+        N, S, K, B = self.N, self.S, self.K, self.B
+        if p_breakpoint is None:
+            # favour breakpoint states with at most one copy (bpmodel.pyx:547-554)
+            fav = (np.asarray(self.brk_states).max(axis=1) <= 1).astype(np.float64)
+            p_breakpoint = np.tile(fav / fav.sum(), (K, 1))
+        p_breakpoint = jnp.asarray(p_breakpoint, dtype=dt)
+        return VState(
+            p_breakpoint=p_breakpoint,
+            p_breakpoint_used=p_breakpoint,
+            posterior_marginals=jnp.full((N, S), 1.0 / S, dtype=dt),
+            alphas=jnp.zeros((N, S), dtype=dt),
+            betas=jnp.zeros((N, S), dtype=dt),
+            framelogprob=jnp.ones((N, S), dtype=dt),
+            hmm_log_norm_const=jnp.asarray(0.0, dt),
+            chain_scale=jnp.asarray(0.0, dt),
+            p_allele_swap=jnp.full((N, 2), 0.5, dtype=dt),
+            p_outlier_total=jnp.tile(jnp.asarray(
+                [1 - self.prior_outlier_total, self.prior_outlier_total], dt), (N, 1)),
+            p_outlier_allele=jnp.tile(jnp.asarray(
+                [1 - self.prior_outlier_allele, self.prior_outlier_allele], dt), (N, 1)),
+        )
+
+    # -- jitted entry points -------------------------------------------------
+
+    def _jit(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(functools.partial(fn, self))
+        return self._jit_cache[name]
+
+    @property
+    def sweep(self):
+        """One full variational update sweep (reference update order)."""
+        return self._jit('sweep', variational_sweep)
+
+    @property
+    def elbo(self):
+        return self._jit('elbo', calculate_elbo)
+
+    @property
+    def expected_log_likelihood(self):
+        return self._jit('ell', expected_log_likelihood)
+
+    @property
+    def expected_log_likelihood_and_grad_h(self):
+        if 'ellgh' not in self._jit_cache:
+            def f(spec, params, state, sample):
+                def obj(h):
+                    return expected_log_likelihood(
+                        spec, params._replace(h=h), state, sample)
+                return jax.value_and_grad(obj)(params.h)
+            self._jit_cache['ellgh'] = jax.jit(functools.partial(f, self))
+        return self._jit_cache['ellgh']
+
+    @property
+    def decode(self):
+        return self._jit('decode', viterbi_decode)
+
+
+# ===========================================================================
+# emission model
+# ===========================================================================
+
+def emission_tensors(spec, params):
+    """Log-likelihood tensors ll_total (N,S,2) and ll_allele (N,S,2,2).
+
+    Mirrors bpmodel.pyx:751-853 including special cases:
+      hdel (no normal contamination): fixed tiny negbin mean;
+      LOH (no normal contamination): allele ratio pinned near 0/1 with its own
+        overdispersion pair;
+      masked or zero-allele-count segments: log likelihood 0.
+    """
+    cls = spec.seg_class
+    h = params.h
+
+    depth_total_c = jnp.einsum('csm,m->cs', spec.class_total_f(), h)
+    depth_minor_c = jnp.einsum('csm,m->cs', spec.class_minor_f(), h)
+    depth_total = depth_total_c[cls]
+    depth_minor = depth_minor_c[cls]
+
+    # total read count: negative binomial
+    mu = spec.l[:, None] * depth_total
+    mu_eff = jnp.where(spec.hdel_override, params.negbin_hdel_mu, mu)
+    r0 = jnp.where(spec.hdel_override, params.negbin_hdel_r_0, params.negbin_r_0)
+    r1 = jnp.where(spec.hdel_override, params.negbin_hdel_r_1, params.negbin_r_1)
+    ll_tot = jnp.stack([
+        negbin_log_likelihood(spec.x[:, None], mu_eff, r0),
+        negbin_log_likelihood(spec.x[:, None], mu_eff, r1),
+    ], axis=-1)
+    ll_tot = ll_tot * params.total_mask[:, None, None]
+
+    # allele counts: beta binomial
+    safe_total = jnp.where(depth_total > 0, depth_total, 1.0)
+    p = jnp.where(depth_total > 0, depth_minor / safe_total, 0.0)
+    p = jnp.where(spec.is_hdel_plane, 0.0, p)
+    p = jnp.where(spec.loh_override,
+                  jnp.where(p == 0.0, params.betabin_loh_p, 1.0 - params.betabin_loh_p),
+                  p)
+    M0 = jnp.where(spec.loh_override, params.betabin_loh_M_0, params.betabin_M_0)
+    M1 = jnp.where(spec.loh_override, params.betabin_loh_M_1, params.betabin_M_1)
+
+    zero = ((spec.total_reads == 0)[:, None]
+            | (params.allele_mask == 0)[:, None]
+            | (p <= 0.0) | (p >= 1.0))
+    p_safe = jnp.where(zero, 0.5, p)
+
+    tr = spec.total_reads[:, None]
+    lls = []
+    for v, Mv in enumerate([M0, M1]):
+        for w in range(2):
+            k = spec.y[:, w][:, None]
+            ll = betabin_log_likelihood(k, tr, p_safe, Mv)
+            lls.append(jnp.where(zero, 0.0, ll))
+    ll_alle = jnp.stack(lls, axis=-1).reshape(spec.N, spec.S, 2, 2)
+    return ll_tot, ll_alle
+
+
+def log_prior_cn(spec, params):
+    """Divergence prior per (n, s) (bpmodel.pyx:746-749)."""
+    return (-spec.num_alleles_subclonal[None, :]
+            * spec.l[:, None] * params.divergence_weight)
+
+
+def _mix_framelogprob(spec, params, state, ll_tot, ll_alle):
+    frame = jnp.einsum('nsu,nu->ns', ll_tot, state.p_outlier_total)
+    frame += jnp.einsum('nsvw,nv,nw->ns', ll_alle,
+                        state.p_outlier_allele, state.p_allele_swap)
+    frame += log_prior_cn(spec, params)
+    return frame
+
+
+def _class_total_f(spec):
+    return spec._ctf
+
+
+def _class_minor_f(spec):
+    return spec._cmf
+
+
+ModelSpec.class_total_f = _class_total_f
+ModelSpec.class_minor_f = _class_minor_f
+
+
+# ===========================================================================
+# transition banks
+# ===========================================================================
+
+def breakend_tmats(spec, p_breakpoint):
+    """Per-breakend transition log-weight matrices (J, S, S).
+
+    w[j,m,d] = E_{q(brk_kj)}[ f(d − orient_j·b_m) ] (bpmodel.pyx:658-664),
+    expanded to (S, S) through one-hot total matmuls, plus the class-pair
+    allele-consistency matrix.
+    """
+    if spec.J == 0:
+        return jnp.zeros((0, spec.S, spec.S), dtype=spec.dtype)
+    pj = p_breakpoint[spec.be_k]                      # (J, B)
+    Fj = spec.F[spec.be_orient01]                     # (J, M, Dn, B)
+    w = jnp.einsum('jb,jmdb->jmd', pj, Fj)            # (J, M, Dn)
+    Wmat = w[:, :, spec.dsel]                         # (J, M, T, T)
+    E1 = spec.Ecls[spec.be_c1]                        # (J, M, S, T)
+    E2 = spec.Ecls[spec.be_c2]
+    tot = jnp.einsum('jmst,jmtu,jmzu->jsz', E1, Wmat, E2)
+    return -spec.transition_penalty * tot + spec.A[spec.be_c1, spec.be_c2]
+
+
+def full_bank(spec, p_breakpoint):
+    return jnp.concatenate([spec.static_bank, breakend_tmats(spec, p_breakpoint)], axis=0)
+
+
+# ===========================================================================
+# pairwise marginal statistics
+# ===========================================================================
+
+def xi_bank_sums(spec, state):
+    """Acc[b] = Σ over pairs n with bank_idx[n]==b of the normalized pairwise
+    marginal xi_n, computed from stored alphas/betas/framelogprob.
+
+    One chunked pass; O(chunk·S²) live memory.
+    """
+    bank_used = full_bank(spec, state.p_breakpoint_used) * state.chain_scale
+    npair = spec.N - 1
+    chunk = min(spec.xi_chunk, npair)
+    nchunks = -(-npair // chunk)
+    pad = nchunks * chunk - npair
+
+    idx = jnp.concatenate([spec.bank_idx, jnp.zeros(pad, dtype=spec.bank_idx.dtype)])
+    a = jnp.concatenate([state.alphas[:-1],
+                         jnp.zeros((pad, spec.S), dtype=state.alphas.dtype)])
+    fb = state.framelogprob[1:] + state.betas[1:]
+    fb = jnp.concatenate([fb, jnp.zeros((pad, spec.S), dtype=fb.dtype)])
+
+    idx = idx.reshape(nchunks, chunk)
+    a = a.reshape(nchunks, chunk, spec.S)
+    fb = fb.reshape(nchunks, chunk, spec.S)
+
+    def step(acc, inputs):
+        ci, ca, cfb = inputs
+        tm = bank_used[ci]                             # (chunk, S, S)
+        logxi = ca[:, :, None] + tm + cfb[:, None, :]
+        vmax = jnp.max(logxi, axis=(1, 2), keepdims=True)
+        xi = jnp.exp(logxi - vmax)
+        xi = xi / jnp.sum(xi, axis=(1, 2), keepdims=True)
+        acc = acc + jax.ops.segment_sum(xi, ci, num_segments=spec.num_bank)
+        return acc, None
+
+    acc0 = jnp.zeros((spec.num_bank, spec.S, spec.S), dtype=state.alphas.dtype)
+    acc, _ = jax.lax.scan(step, acc0, (idx, a, fb))
+    # padded pairs accumulated uniform xi into slot 0 (the zero telomere
+    # matrix): subtract nothing — slot 0 only ever contracts with zeros.
+    return acc
+
+
+def breakend_xi(spec, state):
+    """Normalized pairwise marginals at breakend pairs only: (J, S, S)."""
+    tm = breakend_tmats(spec, state.p_breakpoint_used) * state.chain_scale
+    n = spec.be_n
+    logxi = (state.alphas[n][:, :, None] + tm
+             + (state.framelogprob[n + 1] + state.betas[n + 1])[:, None, :])
+    vmax = jnp.max(logxi, axis=(1, 2), keepdims=True)
+    xi = jnp.exp(logxi - vmax)
+    return xi / jnp.sum(xi, axis=(1, 2), keepdims=True)
+
+
+# ===========================================================================
+# variational updates (bpmodel.pyx:921-1042; order cn_model.py:444-460)
+# ===========================================================================
+
+def update_p_allele_swap(spec, params, state, ll_alle):
+    log_p = jnp.einsum('ns,nv,nsvw->nw', state.posterior_marginals,
+                       state.p_outlier_allele, ll_alle)
+    return state._replace(p_allele_swap=exp_normalize(log_p, axis=-1))
+
+
+def update_p_cn(spec, params, state, ll_tot, ll_alle):
+    frame = _mix_framelogprob(spec, params, state, ll_tot, ll_alle)
+    bank = full_bank(spec, state.p_breakpoint)
+    alphas, betas, log_norm = fb_scan.forward_backward(frame, bank, spec.bank_idx)
+    marginals = exp_normalize(alphas + betas, axis=-1)
+    return state._replace(
+        posterior_marginals=marginals,
+        alphas=alphas,
+        betas=betas,
+        framelogprob=frame,
+        hmm_log_norm_const=log_norm,
+        chain_scale=jnp.asarray(1.0, dtype=frame.dtype),
+        p_breakpoint_used=state.p_breakpoint,
+    )
+
+
+def update_p_breakpoint(spec, params, state):
+    """q(brk) update from breakend pairwise marginals (bpmodel.pyx:964-985)."""
+    if spec.K == 0:
+        return state
+    xi = breakend_xi(spec, state)                     # (J, S, S)
+    E1 = spec.Ecls[spec.be_c1]                        # (J, M, S, T)
+    E2 = spec.Ecls[spec.be_c2]
+    # histogram of total-copy differences under xi, per clone
+    Cmat = jnp.einsum('jmst,jsz,jmzu->jmtu', E1, xi, E2)
+    p_d = jnp.einsum('jmtu,tud->jmd', Cmat, spec.didx_onehot)
+    Fj = spec.F[spec.be_orient01]                     # (J, M, Dn, B)
+    contrib = -spec.transition_penalty * jnp.einsum('jmd,jmdb->jb', p_d, Fj)
+    log_p = jax.ops.segment_sum(contrib, spec.be_k, num_segments=spec.K)
+    return state._replace(p_breakpoint=exp_normalize(log_p, axis=-1))
+
+
+def update_p_outlier_total(spec, params, state, ll_tot):
+    log_p = jnp.einsum('ns,nsu->nu', state.posterior_marginals, ll_tot)
+    prior = jnp.log(jnp.asarray(
+        [1.0 - spec.prior_outlier_total, spec.prior_outlier_total], dtype=log_p.dtype))
+    return state._replace(p_outlier_total=exp_normalize(log_p + prior[None, :], axis=-1))
+
+
+def update_p_outlier_allele(spec, params, state, ll_alle):
+    log_p = jnp.einsum('ns,nw,nsvw->nv', state.posterior_marginals,
+                       state.p_allele_swap, ll_alle)
+    prior = jnp.log(jnp.asarray(
+        [1.0 - spec.prior_outlier_allele, spec.prior_outlier_allele], dtype=log_p.dtype))
+    return state._replace(p_outlier_allele=exp_normalize(log_p + prior[None, :], axis=-1))
+
+
+def variational_sweep(spec, params, state):
+    """One sweep in the reference's update order (cn_model.py:444-460):
+    allele swap, chain, breakpoints, total outliers, allele outliers."""
+    ll_tot, ll_alle = emission_tensors(spec, params)
+    state = update_p_allele_swap(spec, params, state, ll_alle)
+    state = update_p_cn(spec, params, state, ll_tot, ll_alle)
+    state = update_p_breakpoint(spec, params, state)
+    state = update_p_outlier_total(spec, params, state, ll_tot)
+    state = update_p_outlier_allele(spec, params, state, ll_alle)
+    return state
+
+
+# ===========================================================================
+# objectives (bpmodel.pyx:1044-1157)
+# ===========================================================================
+
+def calculate_elbo(spec, params, state):
+    """ELBO with the reference's bookkeeping: the entropy contracts pairwise
+    marginals with the transition bank they were computed under; the energy
+    contracts them with the bank implied by the current q(brk)."""
+    ll_tot, ll_alle = emission_tensors(spec, params)
+    acc = xi_bank_sums(spec, state)
+
+    bank_used = full_bank(spec, state.p_breakpoint_used) * state.chain_scale
+    bank_cur = full_bank(spec, state.p_breakpoint)
+
+    entropy = -state.hmm_log_norm_const
+    entropy += jnp.sum(state.posterior_marginals * state.framelogprob)
+    entropy += jnp.sum(acc * bank_used)
+    entropy += jnp.sum(plogp(state.p_breakpoint))
+    entropy += jnp.sum(plogp(state.p_outlier_total))
+    entropy += jnp.sum(plogp(state.p_outlier_allele))
+    entropy += jnp.sum(plogp(state.p_allele_swap))
+
+    energy = jnp.sum(state.posterior_marginals * log_prior_cn(spec, params))
+    energy += jnp.einsum('ns,nu,nsu->', state.posterior_marginals,
+                         state.p_outlier_total, ll_tot)
+    energy += jnp.sum(state.p_outlier_total[:, 0]) * jnp.log(1.0 - spec.prior_outlier_total)
+    energy += jnp.sum(state.p_outlier_total[:, 1]) * jnp.log(spec.prior_outlier_total)
+    energy += jnp.einsum('ns,nv,nw,nsvw->', state.posterior_marginals,
+                         state.p_outlier_allele, state.p_allele_swap, ll_alle)
+    energy += jnp.sum(state.p_outlier_allele[:, 0]) * jnp.log(1.0 - spec.prior_outlier_allele)
+    energy += jnp.sum(state.p_outlier_allele[:, 1]) * jnp.log(spec.prior_outlier_allele)
+    energy += jnp.sum(acc * bank_cur)
+
+    return energy - entropy
+
+
+def expected_log_likelihood(spec, params, state, sample=None):
+    """Likelihood-only expected log joint over (optionally sampled) segments
+    (bpmodel.pyx:1125-1157). Differentiable in params (EM M-step objective)."""
+    ll_tot, ll_alle = emission_tensors(spec, params)
+    if sample is None:
+        sample = jnp.ones(spec.N, dtype=ll_tot.dtype)
+    energy = jnp.einsum('n,ns,nu,nsu->', sample, state.posterior_marginals,
+                        state.p_outlier_total, ll_tot)
+    energy += jnp.einsum('n,ns,nv,nw,nsvw->', sample, state.posterior_marginals,
+                         state.p_outlier_allele, state.p_allele_swap, ll_alle)
+    return energy
+
+
+# ===========================================================================
+# decoding (bpmodel.pyx:1197-1210)
+# ===========================================================================
+
+def viterbi_decode(spec, params, state):
+    """Viterbi decode using the stored chain potentials (the reference decodes
+    with framelogprob/log_transmat from the last chain update).
+
+    Returns (state_sequence (N,), logprob). The reference's allele-swap
+    application loop is a no-op (it reassigns its own loop variable), so
+    states are emitted unswapped — reproduced here for parity.
+    """
+    bank = full_bank(spec, state.p_breakpoint_used) * state.chain_scale
+    return fb_scan.viterbi(state.framelogprob, bank, spec.bank_idx)

@@ -1,0 +1,59 @@
+"""Special functions and log-space primitives for the engine.
+
+Element-wise distribution log-likelihoods map onto the TPU VPU as fused
+lgamma/log chains; all functions are shape-polymorphic, dtype-preserving and
+safe under ``jax.grad`` (domain-violating lanes are double-``where``-guarded
+so masked-out entries cannot poison gradients with NaNs).
+
+Distribution formulas follow the reference (/root/reference/remixt/
+bpmodel.pyx:238-394): negative binomial over total read counts, beta-binomial
+over allelic read counts.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def logsumexp(x, axis=-1, keepdims=False):
+    """Max-shifted logsumexp; -inf-safe."""
+    vmax = jnp.max(x, axis=axis, keepdims=True)
+    vmax = jnp.where(jnp.isfinite(vmax), vmax, jnp.zeros_like(vmax))
+    out = jnp.log(jnp.sum(jnp.exp(x - vmax), axis=axis, keepdims=True)) + vmax
+    if not keepdims:
+        out = jnp.squeeze(out, axis=axis)
+    return out
+
+
+def exp_normalize(x, axis=-1):
+    """softmax with explicit renormalization (matches oracle exp_normalize)."""
+    vmax = jnp.max(x, axis=axis, keepdims=True)
+    y = jnp.exp(x - vmax)
+    return y / jnp.sum(y, axis=axis, keepdims=True)
+
+
+def plogp(p):
+    """p*log(p) with 0 log 0 := 0."""
+    safe = jnp.where(p > 0, p, 1.0)
+    return jnp.where(p > 0, p * jnp.log(safe), 0.0)
+
+
+def negbin_log_likelihood(x, mu, r):
+    """Negative binomial log pmf, mean-overdispersion parameterization.
+
+    nb_p outside [0, 1] clamps to 0.5 (reference bpmodel.pyx:261-264).
+    """
+    nb_p = mu / (r + mu)
+    nb_p = jnp.where((nb_p < 0.0) | (nb_p > 1.0), 0.5, nb_p)
+    return (jax.lax.lgamma(x + r) - jax.lax.lgamma(x + 1.0) - jax.lax.lgamma(r)
+            + x * jnp.log(nb_p) + r * jnp.log1p(-nb_p))
+
+
+def betabin_log_likelihood(k, n, p, M):
+    """Beta-binomial log pmf; caller must supply p strictly inside (0, 1)."""
+    Mp = M * p
+    Mq = M * (1.0 - p)
+    return (jax.lax.lgamma(n + 1.0) - jax.lax.lgamma(k + 1.0) - jax.lax.lgamma(n - k + 1.0)
+            + jax.lax.lgamma(k + Mp) + jax.lax.lgamma(n - k + Mq)
+            - jax.lax.lgamma(n + M)
+            - jax.lax.lgamma(Mp) - jax.lax.lgamma(Mq)
+            + jax.lax.lgamma(M))
