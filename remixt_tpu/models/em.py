@@ -1,0 +1,166 @@
+"""EM parameter updates (M-step drivers).
+
+Re-designs the reference's optimizer layer (/root/reference/remixt/
+cn_model.py:462-569) TPU-first:
+
+* The haploid-depth update keeps L-BFGS-B semantics (few iterations over an
+  M-dimensional box) but the objective/gradient is a single jitted
+  ``jax.value_and_grad`` call — the hand-derived partials of
+  bpmodel.pyx:1159-1195 are replaced by exact autodiff of the same
+  expectation.
+
+* Scalar likelihood-parameter updates replace ``scipy.optimize.brute``'s
+  serial grid + simplex polish with batched grid refinement: each zoom level
+  evaluates all candidate values in ONE vmapped device call, so the whole
+  grid search costs a few kernel launches.
+
+Both keep the reference's stochastic-subsample objectives and its
+reject-on-worse guard against noisy steps (cn_model.py:526-531, 563-569).
+"""
+
+import numpy as np
+import scipy.optimize
+import jax
+import jax.numpy as jnp
+
+from remixt_tpu.models import engine as eng
+
+
+# grid-search refinement schedule: (points per level, zoom levels)
+GRID_POINTS = 20
+GRID_LEVELS = 3
+
+
+def create_sample(rng, num_segments, weights=None):
+    """Random segment subsample indicator (cn_model.py:475-480)."""
+    sample_size = int(min(200, num_segments / 10))
+    sample_size = max(sample_size, 1)
+    sample_idxs = rng.choice(num_segments, size=sample_size, replace=False, p=weights)
+    sample = np.zeros(num_segments)
+    sample[sample_idxs] = 1.0
+    return sample
+
+
+def update_h(spec, params, state, rng, h_bounds=(1e-8, 10.0)):
+    """One EM update of haploid read depths (cn_model.py:482-531).
+
+    Returns possibly-updated params.
+    """
+    M = int(np.asarray(params.h).shape[0])
+    sample = jnp.asarray(create_sample(rng, spec.N), dtype=spec.dtype)
+    full = jnp.ones(spec.N, dtype=spec.dtype)
+
+    vg = spec.expected_log_likelihood_and_grad_h
+
+    def objective(h):
+        val, grad = vg(params._replace(h=jnp.asarray(h, dtype=spec.dtype)), state, sample)
+        return -float(val), -np.asarray(grad, dtype=np.float64)
+
+    h_before = np.asarray(params.h, dtype=np.float64)
+    ell_before = float(spec.expected_log_likelihood(params, state, full))
+
+    result = scipy.optimize.minimize(
+        objective, h_before, method='L-BFGS-B', jac=True,
+        bounds=[h_bounds] * M)
+
+    if not result.success and result.message != 'ABNORMAL_TERMINATION_IN_LNSRCH':
+        raise ValueError('h optimization failed\n{}'.format(result))
+
+    candidate = params._replace(h=jnp.asarray(result.x, dtype=spec.dtype))
+    ell_after = float(spec.expected_log_likelihood(candidate, state, full))
+
+    # reject steps that hurt the full-data objective (subsample noise guard)
+    if ell_after < ell_before:
+        return params, False
+    return candidate, True
+
+
+def _param_grid_fn(spec, name):
+    """Jitted batched objective over a vector of candidate values for one
+    scalar likelihood parameter."""
+    cache = spec._jit_cache
+    key = ('param_grid', name)
+    if key not in cache:
+        def f(params, state, sample, values):
+            def one(v):
+                return eng.expected_log_likelihood(
+                    spec, params._replace(**{name: v}), state, sample)
+            return jax.vmap(one)(values)
+        import functools
+        cache[key] = jax.jit(functools.partial(f))
+    return cache[key]
+
+
+def update_param(spec, params, state, name, bounds, rng, weights=None):
+    """One EM update of a scalar likelihood parameter via batched grid zoom
+    (replaces scipy.optimize.brute — cn_model.py:533-569).
+
+    Returns possibly-updated params.
+    """
+    sample = jnp.asarray(create_sample(rng, spec.N, weights), dtype=spec.dtype)
+    full = jnp.ones(spec.N, dtype=spec.dtype)
+    grid_fn = _param_grid_fn(spec, name)
+
+    lo, hi = float(bounds[0]), float(bounds[1])
+    best = float(getattr(params, name))
+    for _ in range(GRID_LEVELS):
+        values = np.linspace(lo, hi, GRID_POINTS)
+        objs = np.asarray(grid_fn(params, state,  sample,
+                                  jnp.asarray(values, dtype=spec.dtype)))
+        i = int(np.argmax(objs))
+        best = float(values[i])
+        step = (hi - lo) / (GRID_POINTS - 1)
+        lo = max(float(bounds[0]), best - step)
+        hi = min(float(bounds[1]), best + step)
+
+    ell_before = float(spec.expected_log_likelihood(params, state, full))
+    candidate = params._replace(**{name: jnp.asarray(best, dtype=spec.dtype)})
+    ell_after = float(spec.expected_log_likelihood(candidate, state, full))
+
+    if ell_after < ell_before:
+        return params, False
+    return candidate, True
+
+
+def param_sample_weights(spec, state, name):
+    """Posterior-responsibility sampling weights per parameter
+    (cn_model.py:309-352)."""
+    marg = np.asarray(state.posterior_marginals)
+    p_out_tot = np.asarray(state.p_outlier_total)
+    p_out_alle = np.asarray(state.p_outlier_allele)
+
+    def hdel_weights():
+        mask = np.asarray(spec.is_hdel_plane)
+        return (marg * mask).sum(axis=-1)
+
+    def loh_weights():
+        mask = np.asarray(spec.is_loh_plane)
+        return (marg * mask).sum(axis=-1)
+
+    if name == 'negbin_r_0':
+        weights = p_out_tot[:, 0]
+    elif name == 'negbin_r_1':
+        weights = p_out_tot[:, 1]
+    elif name == 'betabin_M_0':
+        weights = p_out_alle[:, 0]
+    elif name == 'betabin_M_1':
+        weights = p_out_alle[:, 1]
+    elif name == 'negbin_hdel_mu':
+        weights = hdel_weights()
+    elif name == 'negbin_hdel_r_0':
+        weights = hdel_weights() * p_out_tot[:, 0]
+    elif name == 'negbin_hdel_r_1':
+        weights = hdel_weights() * p_out_tot[:, 1]
+    elif name == 'betabin_loh_p':
+        weights = loh_weights()
+    elif name == 'betabin_loh_M_0':
+        weights = loh_weights() * p_out_alle[:, 0]
+    elif name == 'betabin_loh_M_1':
+        weights = loh_weights() * p_out_alle[:, 1]
+    else:
+        raise ValueError('unknown parameter ' + name)
+
+    norm = weights.sum()
+    if norm > 0.0:
+        return weights / norm
+    return None

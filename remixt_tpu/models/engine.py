@@ -371,16 +371,19 @@ def emission_tensors(spec, params):
     depth_total = depth_total_c[cls]
     depth_minor = depth_minor_c[cls]
 
-    # total read count: negative binomial
+    # total read count: negative binomial. Double-where guard: masked
+    # segments and degenerate zero-mean lanes (zero-length dummy segments)
+    # contribute exactly 0 and cannot poison gradients.
     mu = spec.l[:, None] * depth_total
     mu_eff = jnp.where(spec.hdel_override, params.negbin_hdel_mu, mu)
     r0 = jnp.where(spec.hdel_override, params.negbin_hdel_r_0, params.negbin_r_0)
     r1 = jnp.where(spec.hdel_override, params.negbin_hdel_r_1, params.negbin_r_1)
+    zero_tot = (params.total_mask == 0)[:, None] | (mu_eff <= 0.0)
+    mu_safe = jnp.where(zero_tot, 1.0, mu_eff)
     ll_tot = jnp.stack([
-        negbin_log_likelihood(spec.x[:, None], mu_eff, r0),
-        negbin_log_likelihood(spec.x[:, None], mu_eff, r1),
+        jnp.where(zero_tot, 0.0, negbin_log_likelihood(spec.x[:, None], mu_safe, r0)),
+        jnp.where(zero_tot, 0.0, negbin_log_likelihood(spec.x[:, None], mu_safe, r1)),
     ], axis=-1)
-    ll_tot = ll_tot * params.total_mask[:, None, None]
 
     # allele counts: beta binomial
     safe_total = jnp.where(depth_total > 0, depth_total, 1.0)

@@ -1,0 +1,126 @@
+"""End-to-end fit tests on simulated ground-truth experiments.
+
+Follows the reference integration-test pattern (test_remixt.py:297-339
+test_learn_h_variational: fit on a simulated experiment, evaluate recovery)
+with the ELBO-monotonicity guard enabled throughout.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from remixt_tpu.models.fit import BreakpointModel, decode_breakpoints_naive
+from remixt_tpu.simulations import simple as sim
+
+
+def cn_matches(cn, truth):
+    exact = np.all(cn[:, 1:, :] == truth[:, 1:, :], axis=(1, 2))
+    flipped = np.all(cn[:, 1:, :] == truth[:, 1:, ::-1], axis=(1, 2))
+    return exact | flipped
+
+
+def make_model(data, **kwargs):
+    defaults = dict(
+        max_copy_number=6,
+        max_depth=1e9,
+        min_segment_length=0.0,
+        min_proportion_genotyped=0.0,
+        divergence_weight=1e-7,
+        dtype=jnp.float64,
+        random_seed=1234,
+    )
+    defaults.update(kwargs)
+    return BreakpointModel(
+        data['x'], data['l'], data['adjacencies'], data['breakpoints'],
+        **defaults)
+
+
+@pytest.fixture(scope='module')
+def sim_data():
+    return sim.simulate_experiment(N=60, M=3, h=(0.08, 0.05, 0.025),
+                                   cn_max=6, negbin_r=2000., betabin_M=2000.,
+                                   frac_genotyped=0.5, seed=11)
+
+
+def test_fit_recovers_cn_and_h(sim_data):
+    data = sim_data
+    model = make_model(data)
+    model.num_em_iter = 2
+    model.num_update_iter = 3
+    model.check_elbo = True  # raises if any update decreases the ELBO
+
+    # modest perturbation: finding the right basin from far-off inits is the
+    # restart layer's job (analysis/pipeline.py init machinery), not EM's
+    h_init = data['h'] * np.array([1.05, 0.95, 1.02])
+    model.fit(h_init)
+
+    # h recovery
+    np.testing.assert_allclose(model.h, data['h'], rtol=0.15)
+
+    cn, brk_cn = model.optimal_cn()
+    assert cn.shape == data['cn'].shape
+
+    # copy number recovery (length-weighted proportion of correct tumour
+    # states, allowing the global allele-flip the state space is deduplicated
+    # under — the reference evaluation has the same tolerance,
+    # simulations/pipeline.py:575-647). The weakest clone sits at ~1 sigma
+    # per copy step in this noise regime, so exact-subclonal recovery is
+    # bounded; the dominant clone must be essentially perfect.
+    correct = cn_matches(cn, data['cn'])
+    prop_correct = (correct * data['l']).sum() / data['l'].sum()
+    assert prop_correct > 0.6, f'proportion correct {prop_correct}'
+
+    dom = (np.all(cn[:, 1, :] == data['cn'][:, 1, :], axis=1)
+           | np.all(cn[:, 1, :] == data['cn'][:, 1, ::-1], axis=1))
+    prop_dom = (dom * data['l']).sum() / data['l'].sum()
+    assert prop_dom > 0.9, f'proportion dominant correct {prop_dom}'
+
+    # elbo improved over the fit
+    assert model.prev_elbo_diff is not None
+
+
+def test_fit_with_breakpoints_disabled(sim_data):
+    data = sim_data
+    model = make_model(data, disable_breakpoints=True)
+    model.num_em_iter = 1
+    model.num_update_iter = 2
+    model.fit(np.asarray(data['h']))
+
+    cn, brk_cn = model.optimal_cn()
+    assert brk_cn == {}
+
+    brk_cn = decode_breakpoints_naive(cn, data['adjacencies'], data['breakpoints'])
+    assert set(brk_cn.keys()) == set(data['breakpoints'].keys())
+    for cn_b in brk_cn.values():
+        assert cn_b.shape == (3,)
+
+
+def test_fit_no_breakpoints_at_all():
+    data = sim.simulate_experiment(N=30, M=2, h=(0.08, 0.05), seed=3)
+    model = make_model(dict(data, breakpoints={}))
+    model.num_em_iter = 1
+    model.num_update_iter = 2
+    model.fit(np.asarray(data['h']))
+    cn, brk_cn = model.optimal_cn()
+    assert cn.shape[0] == 30
+
+
+def test_breakpoint_copy_number_recovery(sim_data):
+    """Breakpoints at real changepoints should get nonzero copy number."""
+    data = sim_data
+    model = make_model(data)
+    model.num_em_iter = 1
+    model.num_update_iter = 3
+    model.fit(np.asarray(data['h']))
+
+    cn, brk_cn = model.optimal_cn()
+
+    # simulation records the true per-clone breakpoint copy number
+    n_correct = 0
+    n_total = 0
+    for bp_id, truth in data['brk_cn'].items():
+        pred = brk_cn[bp_id]
+        n_total += 1
+        if np.all(pred[1:] == truth[1:]):
+            n_correct += 1
+    assert n_correct / n_total > 0.5, f'{n_correct}/{n_total} breakpoints correct'
