@@ -338,8 +338,7 @@ class OracleModel:
                 k = self.breakpoint_idx[n]
                 for m in range(M):
                     w, d = self._breakpoint_w(k, m, self.breakpoint_orient[n])
-                    w_lut = dict(zip(d.tolist(), w.tolist()))
-                    wd = np.vectorize(w_lut.__getitem__)(dT[:, :, m])
+                    wd = w[dT[:, :, m] + self.cn_max + 1]
                     log_transmat[n] -= self.transition_penalty * wd
 
             # allele-consistency term (bpmodel.pyx:670-684)
@@ -380,11 +379,16 @@ class OracleModel:
         r0 = np.where(hdel_override, self.negbin_hdel_r_0, self.negbin_r_0)
         r1 = np.where(hdel_override, self.negbin_hdel_r_1, self.negbin_r_1)
 
+        # the reference checks the mask before evaluating (bpmodel.pyx:757),
+        # so masked lanes are never touched; make them eval-safe here
+        masked = self.total_likelihood_mask[:, None] == 0
+        mu = np.where(masked, 1.0, mu)
+
         ll = np.stack([
             negbin_log_likelihood(self.x[:, None], mu, r0),
             negbin_log_likelihood(self.x[:, None], mu, r1),
         ], axis=-1)
-        ll = np.where(self.total_likelihood_mask[:, None, None] == 0, 0.0, ll)
+        ll = np.where(masked[..., None], 0.0, ll)
         return ll
 
     def log_likelihood_allele(self):
