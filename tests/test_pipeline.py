@@ -1,0 +1,162 @@
+"""End-to-end pipeline test: count table + breakpoints → init → fits →
+collated results store (the reference's minimum end-to-end slice,
+SURVEY.md §7 stage 4)."""
+
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from remixt_tpu.analysis.experiment import Experiment
+from remixt_tpu.analysis import pipeline
+from remixt_tpu.io.hdf5 import HDFStore
+from remixt_tpu.simulations import simple as sim
+
+
+def make_tables(data, segment_length=5e5):
+    """Build count and breakpoint tables in the reference's TSV schema from a
+    simulated experiment."""
+    N = data['x'].shape[0]
+    start = (np.arange(N) * segment_length + 1).astype(int)
+    end = ((np.arange(N) + 1) * segment_length).astype(int)
+
+    count_data = pd.DataFrame({
+        'chromosome': ['1'] * N,
+        'start': start,
+        'end': end,
+        'length': data['l'],
+        'major_readcount': data['x'][:, 0].astype(int),
+        'minor_readcount': data['x'][:, 1].astype(int),
+        'readcount': data['x'][:, 2].astype(int),
+        'major_is_allele_a': np.ones(N, dtype=int),
+    })
+
+    # breakpoint predictions at the segment extremities used by the truth
+    rows = []
+    for bp_id, bp in data['breakpoints'].items():
+        (na, sa), (nb, sb) = sorted(bp)
+        rows.append({
+            'prediction_id': bp_id,
+            'chromosome_1': '1',
+            'strand_1': '+' if sa == 1 else '-',
+            'position_1': int(end[na] if sa == 1 else start[na]),
+            'chromosome_2': '1',
+            'strand_2': '+' if sb == 1 else '-',
+            'position_2': int(end[nb] if sb == 1 else start[nb]),
+        })
+    breakpoint_data = pd.DataFrame(rows)
+    return count_data, breakpoint_data
+
+
+@pytest.fixture(scope='module')
+def pipeline_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('pipeline')
+    data = sim.simulate_experiment(
+        N=50, M=3, h=(0.08, 0.05, 0.025), cn_max=6,
+        negbin_r=2000., betabin_M=2000., frac_genotyped=0.5, seed=5)
+    count_data, breakpoint_data = make_tables(data)
+
+    experiment = Experiment(count_data, breakpoint_data)
+    experiment_filename = str(tmp / 'experiment.pickle')
+    with open(experiment_filename, 'wb') as f:
+        pickle.dump(experiment, f)
+
+    config = {
+        'max_copy_number': 6,
+        'num_em_iter': 1,
+        'num_update_iter': 2,
+        'likelihood_min_segment_length': 1.0,
+        'likelihood_min_proportion_genotyped': 0.0,
+        'divergence_weights': [1e-7],
+        'tumour_mix_fractions': [0.4, 0.33],
+        'engine_dtype': 'float64',
+        'min_ploidy': 1.0,
+        'max_ploidy': 8.0,
+        # pin haploid depths (supported for poor samples — defaults.py:130-131);
+        # mode detection needs more data than this tiny fixture provides
+        'h_normal': 0.08,
+        'h_tumour': 0.075,
+    }
+
+    init_filename = str(tmp / 'init.h5')
+    init_params = pipeline.init(init_filename, experiment_filename, config)
+
+    # limit restarts for test speed
+    init_params = dict(list(init_params.items())[:2])
+
+    fit_filenames = {}
+    for init_id, params in init_params.items():
+        results_filename = str(tmp / f'fit_{init_id}.pickle')
+        pipeline.fit_task(results_filename, experiment_filename, params, config)
+        fit_filenames[init_id] = results_filename
+
+    collate_filename = str(tmp / 'results.h5')
+    pipeline.collate(collate_filename, experiment_filename, init_filename,
+                     fit_filenames, config)
+
+    return dict(data=data, tmp=tmp, collate_filename=collate_filename,
+                experiment=experiment, init_params=init_params)
+
+
+def test_breakpoints_mapped(pipeline_run):
+    experiment = pipeline_run['experiment']
+    data = pipeline_run['data']
+    # every simulated breakpoint should map to segment extremities
+    assert len(experiment.breakpoints) == len(data['breakpoints'])
+
+
+def test_init_enumerates_restarts(pipeline_run):
+    init_params = pipeline_run['init_params']
+    for params in init_params.values():
+        assert params['h_normal'] > 0
+        assert params['h_tumour'] > 0
+        assert 'max_depth' in params
+
+
+def test_results_schema(pipeline_run):
+    """Results store must follow the reference schema
+    (analysis/pipeline.py:231-293; README.md:131-143)."""
+    with HDFStore(pipeline_run['collate_filename'], 'r') as store:
+        keys = store.keys()
+        assert '/stats' in keys
+        assert '/cn' in keys
+        assert '/mix' in keys
+        assert '/brk_cn' in keys
+
+        stats = store['stats']
+        assert 'elbo' in stats.columns
+        assert 'ploidy' in stats.columns
+        assert 'proportion_divergent' in stats.columns
+        assert 'init_id' in stats.columns
+
+        cn = store['cn']
+        for col in ['chromosome', 'start', 'end', 'length',
+                    'major_1', 'minor_1', 'major_2', 'minor_2',
+                    'major_raw', 'minor_raw',
+                    'prob_is_outlier_total', 'total_likelihood_mask']:
+            assert col in cn.columns, col
+
+        mix = store['mix']
+        np.testing.assert_allclose(mix.values.sum(), 1.0, rtol=1e-6)
+
+        brk_cn = store['brk_cn']
+        assert 'prediction_id' in brk_cn.columns
+        if len(brk_cn.index):
+            assert 'cn_1' in brk_cn.columns
+
+
+def test_solution_quality(pipeline_run):
+    """The selected solution should recover most of the dominant clone."""
+    data = pipeline_run['data']
+    with HDFStore(pipeline_run['collate_filename'], 'r') as store:
+        cn = store['cn']
+    dec = np.stack([
+        np.stack([cn['major_1'].values, cn['minor_1'].values], axis=-1),
+        np.stack([cn['major_2'].values, cn['minor_2'].values], axis=-1),
+    ], axis=1)
+    truth = data['cn'][:, 1:, :]
+    exact = np.all(dec == truth, axis=(1, 2)) | np.all(dec == truth[:, :, ::-1], axis=(1, 2))
+    # lenient: restart grid is trimmed to 2 and EM budget is tiny
+    assert exact.mean() > 0.3, f'recovered {exact.mean()}'
