@@ -37,7 +37,8 @@ def build_problem(N, num_events, seed=0):
 
     data = sim.simulate_experiment(
         N=N, M=3, h=(0.08, 0.05, 0.025), cn_max=12,
-        num_events=num_events, seed=seed)
+        num_events=num_events, seed=seed,
+        num_chains=max(1, int(round(N / 260))))  # hg38-like chromosome count
     model = BreakpointModel(
         data['x'], data['l'], data['adjacencies'], data['breakpoints'],
         max_copy_number=12, max_depth=1e9,
@@ -97,7 +98,7 @@ def main():
     result = {
         'metric': 'e_step_segments_per_s_per_chip',
         'value': round(tpu_segs_per_s, 1),
-        'unit': 'segments/s (whole-genome VI sweep, N=6029 S=355 M=3 K=300, f32; '
+        'unit': 'segments/s (whole-genome VI sweep, N~6029 S=355 M=3 K=300, 23 chains, f32; '
                 'baseline = same engine on 1 CPU core)',
         'vs_baseline': round(tpu_segs_per_s / cpu_segs_per_s, 2),
     }

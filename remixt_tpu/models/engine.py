@@ -250,6 +250,26 @@ class ModelSpec:
         self.bank_idx = jnp.asarray(bank_idx)
         self.bank_idx_np = bank_idx
 
+        # ---- chain batching -------------------------------------------------
+        # the chain factorizes at free (telomere) junctions; batch the
+        # independent sub-chains so the scan's serial length is the longest
+        # chain, not the whole genome (see fb_scan.forward_backward_chains)
+        tel_pairs = np.where(is_telomere[:N - 1] == 1)[0]
+        bounds = np.concatenate([[0], tel_pairs + 1, [N]])
+        starts, ends = bounds[:-1], bounds[1:]
+        lengths = ends - starts
+        Q, L = len(starts), int(lengths.max())
+        self.Q, self.L = Q, L
+        chain_seg_map = np.full((Q, L), N, dtype=np.int32)
+        chain_bank_idx = np.zeros((Q, max(L - 1, 1)), dtype=np.int32)
+        for q, (s, e) in enumerate(zip(starts, ends)):
+            chain_seg_map[q, :e - s] = np.arange(s, e)
+            if e - s > 1:
+                chain_bank_idx[q, :e - s - 1] = bank_idx[s:e - 1]
+        self.chain_seg_map = jnp.asarray(chain_seg_map)
+        self.chain_bank_idx = jnp.asarray(chain_bank_idx[:, :max(L - 1, 1)])
+        self.chain_last = jnp.asarray((lengths - 1).astype(np.int32))
+
         # ---- data ----------------------------------------------------------
         self.l = jnp.asarray(l, dtype=dtype)
         self.x = jnp.asarray(x, dtype=dtype)
@@ -531,7 +551,8 @@ def update_p_allele_swap(spec, params, state, ll_alle):
 def update_p_cn(spec, params, state, ll_tot, ll_alle):
     frame = _mix_framelogprob(spec, params, state, ll_tot, ll_alle)
     bank = full_bank(spec, state.p_breakpoint)
-    alphas, betas, log_norm = fb_scan.forward_backward(frame, bank, spec.bank_idx)
+    alphas, betas, log_norm = fb_scan.forward_backward_chains(
+        frame, bank, spec.chain_bank_idx, spec.chain_seg_map, spec.chain_last)
     marginals = exp_normalize(alphas + betas, axis=-1)
     return state._replace(
         posterior_marginals=marginals,
@@ -649,4 +670,6 @@ def viterbi_decode(spec, params, state):
     states are emitted unswapped — reproduced here for parity.
     """
     bank = full_bank(spec, state.p_breakpoint_used) * state.chain_scale
-    return fb_scan.viterbi(state.framelogprob, bank, spec.bank_idx)
+    return fb_scan.viterbi_chains(
+        state.framelogprob, bank, spec.chain_bank_idx, spec.chain_seg_map,
+        spec.chain_last)

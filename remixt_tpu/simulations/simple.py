@@ -168,7 +168,8 @@ def sample_betabin(rng, n, p, M):
 def simulate_experiment(N=100, M=3, h=(0.08, 0.06, 0.03), num_events=None,
                         cn_max=6, cn_diff_max=1, mean_span=8,
                         mean_length=5e5, frac_genotyped=0.25,
-                        negbin_r=500.0, betabin_M=500.0, seed=0):
+                        negbin_r=500.0, betabin_M=500.0, seed=0,
+                        num_chains=1):
     """Simulate a count-level experiment with fully consistent ground truth.
 
     The tumour profile is built by replaying deletion/duplication events, so
@@ -207,7 +208,13 @@ def simulate_experiment(N=100, M=3, h=(0.08, 0.06, 0.03), num_events=None,
                   np.minimum(a0_count, a1_count),
                   x_total], axis=-1)
 
+    # split the genome into independent chains (chromosome analogue): drop
+    # the wild-type adjacency at chain boundaries
     adjacencies = set((n, n + 1) for n in range(N - 1))
+    if num_chains > 1:
+        bounds = np.linspace(0, N, num_chains + 1).astype(int)[1:-1]
+        for b in bounds:
+            adjacencies.discard((b - 1, b))
 
     return dict(
         cn=cn, h=h, x=x, l=l,

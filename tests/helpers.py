@@ -13,7 +13,7 @@ from remixt_tpu.models.oracle import OracleModel
 def make_problem(seed=0, N=6, M=2, cn_max=2, num_breakpoints=1,
                  normal_contamination=True, h=None,
                  transition_penalty=2.0, divergence_weight=1e-7,
-                 mean_depth=100.0):
+                 mean_depth=100.0, num_telomeres=0):
     """Build a small random model problem and matching OracleModel kwargs.
 
     Breakpoints are placed at random interior non-adjacent pair positions,
@@ -51,7 +51,11 @@ def make_problem(seed=0, N=6, M=2, cn_max=2, num_breakpoints=1,
     is_telomere = np.zeros(N, dtype=np.int64)
     breakpoint_idx = -np.ones(N, dtype=np.int64)
     breakpoint_orient = np.zeros(N, dtype=np.int64)
-    positions = rng.choice(np.arange(N - 1), size=min(2 * num_breakpoints, N - 1), replace=False)
+    all_pairs = rng.permutation(N - 1)
+    tel_pairs = all_pairs[:num_telomeres]
+    is_telomere[tel_pairs] = 1
+    free_pairs = all_pairs[num_telomeres:]
+    positions = free_pairs[:min(2 * num_breakpoints, len(free_pairs))]
     kk = 0
     for k in range(num_breakpoints):
         if 2 * k + 1 >= len(positions):

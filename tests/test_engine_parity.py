@@ -38,6 +38,7 @@ CASES = [
     dict(N=10, M=3, cn_max=2, num_breakpoints=1),
     dict(N=12, M=2, cn_max=3, num_breakpoints=0),
     dict(N=10, M=2, cn_max=2, num_breakpoints=2, normal_contamination=False),
+    dict(N=14, M=2, cn_max=2, num_breakpoints=2, num_telomeres=3),
 ]
 
 
