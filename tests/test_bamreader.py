@@ -1,0 +1,242 @@
+"""Native BAM allele reader tests.
+
+Builds tiny coordinate-sorted BAM + BAI files in pure Python (BGZF blocks
+via zlib) and validates the C++ reader's pairing, filtering and SNP
+classification against hand-computed expectations.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+SEQ_CODE = '=ACMGRSVTWYHKDBN'
+
+BGZF_EOF = bytes([
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0x06, 0x00,
+    0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00])
+
+
+def bgzf_block(payload):
+    cdata = zlib.compress(payload, 6)[2:-4]  # raw deflate
+    bsize = len(cdata) + 25 + 1
+    header = struct.pack(
+        '<BBBBIBBHBBHH',
+        0x1f, 0x8b, 8, 4,       # gzip magic, deflate, FEXTRA
+        0, 0, 0xff,             # mtime, xfl, os
+        6,                      # xlen
+        66, 67, 2, bsize - 1)   # BC extra: BSIZE
+    footer = struct.pack('<II', zlib.crc32(payload) & 0xffffffff, len(payload))
+    return header + cdata + footer
+
+
+def bam_record(name, refid, pos, mapq, flag, seq, tlen, next_pos,
+               cigar=None):
+    if cigar is None:
+        cigar = [(len(seq), 0)]  # all M
+    name_b = name.encode() + b'\0'
+    cigar_b = b''.join(struct.pack('<I', (ln << 4) | op) for ln, op in cigar)
+    seq_b = bytearray()
+    for i in range(0, len(seq), 2):
+        hi = SEQ_CODE.index(seq[i]) << 4
+        lo = SEQ_CODE.index(seq[i + 1]) if i + 1 < len(seq) else 0
+        seq_b.append(hi | lo)
+    qual_b = b'\xff' * len(seq)
+
+    body = struct.pack('<iiBBHHHiiii', refid, pos, len(name_b), mapq, 0,
+                       len(cigar), flag, len(seq), refid, next_pos, tlen)
+    body += name_b + cigar_b + bytes(seq_b) + qual_b
+    return struct.pack('<i', len(body)) + body
+
+
+def write_bam(path, records, ref_names=('1',), ref_lengths=(1000000,)):
+    """Write a BAM with the header in one BGZF block and alignments in a
+    second, plus a matching minimal BAI."""
+    header_text = b''
+    header = b'BAM\x01' + struct.pack('<i', len(header_text)) + header_text
+    header += struct.pack('<i', len(ref_names))
+    for name, length in zip(ref_names, ref_lengths):
+        name_b = name.encode() + b'\0'
+        header += struct.pack('<i', len(name_b)) + name_b + struct.pack('<i', length)
+
+    header_block = bgzf_block(header)
+    alignment_payload = b''.join(records)
+    alignment_block = bgzf_block(alignment_payload)
+
+    with open(path, 'wb') as f:
+        f.write(header_block)
+        f.write(alignment_block)
+        f.write(BGZF_EOF)
+
+    # minimal BAI: no bins, linear index pointing at the alignment block
+    voffset = len(header_block) << 16
+    with open(str(path) + '.bai', 'wb') as f:
+        f.write(b'BAI\x01')
+        f.write(struct.pack('<I', len(ref_names)))
+        for _ in ref_names:
+            f.write(struct.pack('<I', 0))       # n_bin
+            f.write(struct.pack('<I', 1))       # n_intv
+            f.write(struct.pack('<Q', voffset))
+
+
+def make_pair(name, pos1, pos2, read_len, mapq=60, seq1=None, seq2=None,
+              flag_extra1=0, flag_extra2=0):
+    """A proper pair: R1 forward at pos1, R2 reverse at pos2."""
+    tlen = pos2 + read_len - pos1
+    seq1 = seq1 or 'A' * read_len
+    seq2 = seq2 or 'A' * read_len
+    r1 = dict(name=name, pos=pos1, mapq=mapq, seq=seq1, tlen=tlen,
+              flag=0x1 | 0x2 | 0x20 | 0x40 | flag_extra1, next_pos=pos2)
+    r2 = dict(name=name, pos=pos2, mapq=mapq, seq=seq2, tlen=-tlen,
+              flag=0x1 | 0x2 | 0x10 | 0x80 | flag_extra2, next_pos=pos1)
+    return r1, r2
+
+
+def build_reader(tmp_path, read_dicts, snps=None, max_fragment_length=1000,
+                 max_soft_clipped=8, check_proper_pair=True):
+    import remixt_tpu.io.bamreader as bamreader
+
+    read_dicts = sorted(read_dicts, key=lambda r: r['pos'])
+    records = [bam_record(refid=0, cigar=r.get('cigar'), **{
+        k: v for k, v in r.items() if k != 'cigar'}) for r in read_dicts]
+    bam_path = str(tmp_path / 'test.bam')
+    write_bam(bam_path, records)
+
+    snp_path = ''
+    if snps is not None:
+        snp_path = str(tmp_path / 'snps.tsv')
+        with open(snp_path, 'w') as f:
+            for chrom, pos, ref, alt in snps:
+                # snp file is 1-based
+                f.write(f'{chrom}\t{pos + 1}\t{ref}\t{alt}\n')
+
+    return bamreader.AlleleReader(
+        bam_path, snp_path, '1', max_fragment_length, max_soft_clipped,
+        check_proper_pair)
+
+
+def test_simple_pairs(tmp_path):
+    reads = []
+    reads += make_pair('frag_a', 100, 300, 50)
+    reads += make_pair('frag_b', 200, 500, 50, mapq=30)
+
+    reader = build_reader(tmp_path, reads)
+    assert reader.ReadAlignments(10000)
+    fragments = reader.GetFragmentTable()
+
+    assert len(fragments.index) == 2
+    frag_by_start = fragments.set_index('start')
+    assert frag_by_start.loc[100, 'end'] == 350
+    assert frag_by_start.loc[200, 'end'] == 550
+    assert frag_by_start.loc[200, 'mapping_quality'] == 30
+    assert (fragments['is_duplicate'] == 0).all()
+
+    assert not reader.ReadAlignments(10000)
+
+
+def test_discordant_filtered(tmp_path):
+    reads = []
+    reads += make_pair('ok', 100, 300, 50)
+    # too-long fragment
+    reads += make_pair('toolong', 200, 5000, 50)
+    # not proper pair
+    r1, r2 = make_pair('improper', 400, 600, 50)
+    r1['flag'] &= ~0x2
+    r2['flag'] &= ~0x2
+    reads += [r1, r2]
+
+    reader = build_reader(tmp_path, reads)
+    reader.ReadAlignments(10000)
+    fragments = reader.GetFragmentTable()
+    assert len(fragments.index) == 1
+    assert fragments['start'].iloc[0] == 100
+
+
+def test_soft_clip_filtered(tmp_path):
+    reads = []
+    reads += make_pair('ok', 100, 300, 50)
+    r1, r2 = make_pair('clipped', 400, 600, 50)
+    r1['cigar'] = [(20, 4), (30, 0)]  # 20S30M
+    reads += [r1, r2]
+
+    reader = build_reader(tmp_path, reads, max_soft_clipped=8)
+    reader.ReadAlignments(10000)
+    fragments = reader.GetFragmentTable()
+    assert len(fragments.index) == 1
+
+
+def test_duplicate_flag(tmp_path):
+    reads = []
+    r1, r2 = make_pair('dup', 100, 300, 50)
+    r1['flag'] |= 0x400
+    reads += [r1, r2]
+
+    reader = build_reader(tmp_path, reads)
+    reader.ReadAlignments(10000)
+    fragments = reader.GetFragmentTable()
+    assert fragments['is_duplicate'].iloc[0] == 1
+
+
+def test_snp_classification(tmp_path):
+    # R1 covers positions 100..149; SNP at 110 (ref A, alt C)
+    seq_ref = 'A' * 50
+    seq_alt = 'A' * 10 + 'C' + 'A' * 39
+    reads = []
+    reads += make_pair('ref_frag', 100, 300, 50, seq1=seq_ref)
+    reads += make_pair('alt_frag', 100, 300, 50, seq1=seq_alt)
+    # fragment with a third base at the SNP: no allele emitted
+    seq_other = 'A' * 10 + 'G' + 'A' * 39
+    reads += make_pair('other_frag', 100, 300, 50, seq1=seq_other)
+
+    snps = [('1', 110, 'A', 'C')]
+    reader = build_reader(tmp_path, reads, snps=snps)
+    reader.ReadAlignments(10000)
+    fragments = reader.GetFragmentTable()
+    alleles = reader.GetAlleleTable()
+
+    name_by_id = {}
+    # fragment ids assigned in pairing order; identify by nothing else, so
+    # map via allele count expectations: 3 fragments, 2 allele rows
+    assert len(fragments.index) == 3
+    assert len(alleles.index) == 2
+    assert set(alleles['position']) == {111}  # 1-based
+    assert set(alleles['is_alt']) == {0, 1}
+
+    # both mates covering the same SNP each emit one allele row
+    reads = []
+    reads += make_pair('both_cover', 100, 120, 50, seq1=seq_alt,
+                       seq2='A' * 50)
+    # R2 at 120 covers 110? no: covers 120..169. Use overlapping pair:
+    reads = []
+    r1, r2 = make_pair('both_cover', 100, 105, 50,
+                       seq1=seq_alt, seq2='A' * 5 + 'C' + 'A' * 44)
+    reads += [r1, r2]
+    reader = build_reader(tmp_path, reads, snps=snps)
+    reader.ReadAlignments(10000)
+    alleles = reader.GetAlleleTable()
+    assert len(alleles.index) == 2
+    assert (alleles['is_alt'] == 1).all()
+
+
+def test_deletion_skips_snp(tmp_path):
+    # 10M then 5D then 40M: SNP at 112 falls in the deletion
+    r1, r2 = make_pair('del_frag', 100, 300, 50)
+    r1['cigar'] = [(10, 0), (5, 2), (40, 0)]
+    snps = [('1', 112, 'A', 'C')]
+    reader = build_reader(tmp_path, [r1, r2], snps=snps)
+    reader.ReadAlignments(10000)
+    assert len(reader.GetAlleleTable().index) == 0
+
+
+def test_batched_reads(tmp_path):
+    reads = []
+    for i in range(20):
+        reads += make_pair(f'frag_{i:03d}', 100 + 10 * i, 400 + 10 * i, 50)
+
+    reader = build_reader(tmp_path, reads)
+    total = 0
+    while reader.ReadAlignments(7):
+        total += len(reader.GetFragmentTable().index)
+    assert total == 20
