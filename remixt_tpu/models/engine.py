@@ -283,6 +283,10 @@ class ModelSpec:
         self._ctf = jnp.asarray(class_total, dtype=dtype)
         self._cmf = jnp.asarray(class_cn[:, :, :, 0], dtype=dtype)
 
+        # optional device-mesh sharding hook for the chain (Q) axis, set by
+        # remixt_tpu.parallel.chain.enable_chain_sharding
+        self.chain_constraint = None
+
         self._jit_cache = {}
 
     # -- initial pytrees -----------------------------------------------------
@@ -552,7 +556,8 @@ def update_p_cn(spec, params, state, ll_tot, ll_alle):
     frame = _mix_framelogprob(spec, params, state, ll_tot, ll_alle)
     bank = full_bank(spec, state.p_breakpoint)
     alphas, betas, log_norm = fb_scan.forward_backward_chains(
-        frame, bank, spec.chain_bank_idx, spec.chain_seg_map, spec.chain_last)
+        frame, bank, spec.chain_bank_idx, spec.chain_seg_map, spec.chain_last,
+        chain_constraint=spec.chain_constraint)
     marginals = exp_normalize(alphas + betas, axis=-1)
     return state._replace(
         posterior_marginals=marginals,

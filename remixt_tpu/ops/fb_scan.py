@@ -58,7 +58,7 @@ def forward_backward(framelogprob, bank, bank_idx):
 
 
 def forward_backward_chains(framelogprob, bank, chain_bank_idx, chain_seg_map,
-                            chain_last):
+                            chain_last, chain_constraint=None):
     """Chain-batched log-space forward-backward.
 
     The genome chain factorizes exactly at free (telomere) junctions
@@ -79,6 +79,10 @@ def forward_backward_chains(framelogprob, bank, chain_bank_idx, chain_seg_map,
         chain_bank_idx: (Q, L-1) bank index per within-chain pair (0 on pads)
         chain_seg_map: (Q, L) global segment index, N for pads
         chain_last: (Q,) index of each chain's last real position
+        chain_constraint: optional callable (array, q_axis) -> array applying
+            a device-mesh sharding constraint on the chain (Q) axis — the
+            sequence-parallel analogue. The scan has no cross-chain
+            communication, so sharding Q is communication-free.
 
     Returns:
         alphas (N, S), betas (N, S), log_norm (scalar)
@@ -93,10 +97,16 @@ def forward_backward_chains(framelogprob, bank, chain_bank_idx, chain_seg_map,
     Ft = jnp.swapaxes(F, 0, 1)                        # (L, Q, S)
     Bt = jnp.swapaxes(chain_bank_idx, 0, 1)           # (L-1, Q)
 
+    if chain_constraint is not None:
+        Ft = chain_constraint(Ft, 1)
+        Bt = chain_constraint(Bt, 1)
+
     def fwd_step(alpha, inputs):
         bidx, f_next = inputs                         # (Q,), (Q, S)
         tmat = bank[bidx]                             # (Q, S, S)
         alpha_next = logsumexp(alpha[:, :, None] + tmat, axis=1) + f_next
+        if chain_constraint is not None:
+            alpha_next = chain_constraint(alpha_next, 0)
         return alpha_next, alpha_next
 
     alpha0 = Ft[0]

@@ -1,0 +1,101 @@
+"""Device-mesh parallelism tests on the virtual 8-device CPU mesh.
+
+Sharded execution must be numerically equivalent to single-device
+execution; the 2D (restart × chain) layout is the production configuration
+validated by the driver's multichip dry run.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from remixt_tpu.models import engine as eng
+from remixt_tpu.models.fit import BreakpointModel
+from remixt_tpu.parallel import restarts as par
+from remixt_tpu.parallel import chain as par_chain
+from remixt_tpu.simulations import simple as sim
+
+
+@pytest.fixture(scope='module')
+def problem():
+    data = sim.simulate_experiment(
+        N=48, M=3, h=(0.08, 0.05, 0.025), cn_max=4, num_events=5,
+        num_chains=4, seed=3)
+    model = BreakpointModel(
+        data['x'], data['l'], data['adjacencies'], data['breakpoints'],
+        max_copy_number=4, max_depth=1e9, min_segment_length=1.0,
+        min_proportion_genotyped=0.0, divergence_weight=1e-7,
+        dtype=jnp.float64, random_seed=0)
+    spec = model._build_spec(3)
+    params = spec.init_params(
+        data['h'], 1e-7,
+        total_mask=model._total_likelihood_mask.astype(float),
+        allele_mask=model._allele_likelihood_mask.astype(float))
+    state = spec.init_state()
+    return spec, params, state
+
+
+def test_restart_sharded_sweep_matches(problem):
+    spec, params, state = problem
+    R = 4
+
+    params_list = [params._replace(h=params.h * (1.0 + 0.05 * i)) for i in range(R)]
+
+    # single-device reference
+    expected = [eng.variational_sweep(spec, p, state) for p in params_list]
+
+    mesh = par.make_restart_mesh(jax.devices()[:4])
+    params_b = par.shard_restarts(mesh, par.stack_pytrees(params_list))
+    state_b = par.shard_restarts(mesh, par.stack_pytrees([state] * R))
+
+    step = par.make_sharded_sweep(spec, mesh)
+    with mesh:
+        state_out = step(params_b, state_b)
+
+    for i in range(R):
+        np.testing.assert_allclose(
+            np.asarray(state_out.posterior_marginals[i]),
+            np.asarray(expected[i].posterior_marginals), atol=1e-9)
+        np.testing.assert_allclose(
+            float(state_out.hmm_log_norm_const[i]),
+            float(expected[i].hmm_log_norm_const), rtol=1e-9)
+
+
+def test_2d_mesh_matches_single_device(problem):
+    spec, params, state = problem
+    n_restart, n_chain = 2, 4
+    R = n_restart
+
+    params_list = [params._replace(h=params.h * (1.0 + 0.05 * i)) for i in range(R)]
+    spec.chain_constraint = None
+    expected_states = [eng.variational_sweep(spec, p, state) for p in params_list]
+    expected_ell = [
+        float(eng.expected_log_likelihood(spec, p, s))
+        for p, s in zip(params_list, expected_states)]
+
+    devices = np.asarray(jax.devices()[:8]).reshape(n_restart, n_chain)
+    mesh = Mesh(devices, ('restart', 'chain'))
+
+    params_b = par.shard_restarts(mesh, par.stack_pytrees(params_list))
+    state_b = par.shard_restarts(mesh, par.stack_pytrees([state] * R))
+
+    step = par_chain.make_2d_train_step(spec, mesh, h_step=0.0)
+    try:
+        with mesh:
+            params_out, state_out, ell = step(params_b, state_b)
+
+        for i in range(R):
+            np.testing.assert_allclose(
+                np.asarray(state_out.posterior_marginals[i]),
+                np.asarray(expected_states[i].posterior_marginals), atol=1e-9)
+            np.testing.assert_allclose(float(ell[i]), expected_ell[i], rtol=1e-9)
+            if spec.K > 0:
+                np.testing.assert_allclose(
+                    np.asarray(state_out.p_breakpoint[i]),
+                    np.asarray(expected_states[i].p_breakpoint), atol=1e-9)
+    finally:
+        spec.chain_constraint = None
