@@ -287,7 +287,20 @@ class ModelSpec:
         # remixt_tpu.parallel.chain.enable_chain_sharding
         self.chain_constraint = None
 
+        # opt-in Pallas forward-backward kernel (TPU, float32)
+        self.use_pallas = False
+        self._pallas_plan = None
+
         self._jit_cache = {}
+
+    @property
+    def pallas_plan(self):
+        if self._pallas_plan is None:
+            from remixt_tpu.ops import fb_pallas
+            self._pallas_plan = fb_pallas.build_pallas_plan(
+                np.asarray(self.chain_bank_idx), self.num_static_bank,
+                self.Q, self.L, self.S)
+        return self._pallas_plan
 
     # -- initial pytrees -----------------------------------------------------
 
@@ -492,13 +505,20 @@ def full_bank(spec, p_breakpoint):
 # pairwise marginal statistics
 # ===========================================================================
 
-def xi_bank_sums(spec, state):
-    """Acc[b] = Σ over pairs n with bank_idx[n]==b of the normalized pairwise
-    marginal xi_n, computed from stored alphas/betas/framelogprob.
+def xi_transition_dots(spec, state):
+    """Transition contractions of the pairwise marginals, chunked, without
+    materializing xi or per-bank accumulators:
 
-    One chunked pass; O(chunk·S²) live memory.
+        dot_used = Σ_n ⟨xi_n, bank_used[idx_n]⟩   (chain entropy term)
+        dot_cur  = Σ_n ⟨xi_n, bank_cur[idx_n]⟩    (energy term, current q(brk))
+
+    xi is defined by the used bank (the potentials the chain was computed
+    under); the energy contracts it against the bank implied by the current
+    breakpoint distribution (reference cached_log_transmat semantics,
+    bpmodel.pyx:603-604, 985, 1112-1115).
     """
     bank_used = full_bank(spec, state.p_breakpoint_used) * state.chain_scale
+    bank_cur = full_bank(spec, state.p_breakpoint)
     npair = spec.N - 1
     chunk = min(spec.xi_chunk, npair)
     nchunks = -(-npair // chunk)
@@ -516,19 +536,19 @@ def xi_bank_sums(spec, state):
 
     def step(acc, inputs):
         ci, ca, cfb = inputs
-        tm = bank_used[ci]                             # (chunk, S, S)
-        logxi = ca[:, :, None] + tm + cfb[:, None, :]
+        tm_used = bank_used[ci]                        # (chunk, S, S)
+        tm_cur = bank_cur[ci]
+        logxi = ca[:, :, None] + tm_used + cfb[:, None, :]
         vmax = jnp.max(logxi, axis=(1, 2), keepdims=True)
         xi = jnp.exp(logxi - vmax)
         xi = xi / jnp.sum(xi, axis=(1, 2), keepdims=True)
-        acc = acc + jax.ops.segment_sum(xi, ci, num_segments=spec.num_bank)
-        return acc, None
+        # padded pairs contract uniform xi with the zero telomere matrix: 0
+        return (acc[0] + jnp.sum(xi * tm_used),
+                acc[1] + jnp.sum(xi * tm_cur)), None
 
-    acc0 = jnp.zeros((spec.num_bank, spec.S, spec.S), dtype=state.alphas.dtype)
-    acc, _ = jax.lax.scan(step, acc0, (idx, a, fb))
-    # padded pairs accumulated uniform xi into slot 0 (the zero telomere
-    # matrix): subtract nothing — slot 0 only ever contracts with zeros.
-    return acc
+    zero = jnp.zeros((), dtype=state.alphas.dtype)
+    (dot_used, dot_cur), _ = jax.lax.scan(step, (zero, zero), (idx, a, fb))
+    return dot_used, dot_cur
 
 
 def breakend_xi(spec, state):
@@ -554,10 +574,17 @@ def update_p_allele_swap(spec, params, state, ll_alle):
 
 def update_p_cn(spec, params, state, ll_tot, ll_alle):
     frame = _mix_framelogprob(spec, params, state, ll_tot, ll_alle)
-    bank = full_bank(spec, state.p_breakpoint)
-    alphas, betas, log_norm = fb_scan.forward_backward_chains(
-        frame, bank, spec.chain_bank_idx, spec.chain_seg_map, spec.chain_last,
-        chain_constraint=spec.chain_constraint)
+    if spec.use_pallas and spec.chain_constraint is None:
+        from remixt_tpu.ops import fb_pallas
+        be_bank = breakend_tmats(spec, state.p_breakpoint)
+        alphas, betas, log_norm = fb_pallas.forward_backward_chains_pallas(
+            frame, spec.static_bank, be_bank,
+            spec.chain_seg_map, spec.chain_last, spec.pallas_plan)
+    else:
+        bank = full_bank(spec, state.p_breakpoint)
+        alphas, betas, log_norm = fb_scan.forward_backward_chains(
+            frame, bank, spec.chain_bank_idx, spec.chain_seg_map,
+            spec.chain_last, chain_constraint=spec.chain_constraint)
     marginals = exp_normalize(alphas + betas, axis=-1)
     return state._replace(
         posterior_marginals=marginals,
@@ -620,16 +647,15 @@ def variational_sweep(spec, params, state):
 def calculate_elbo(spec, params, state):
     """ELBO with the reference's bookkeeping: the entropy contracts pairwise
     marginals with the transition bank they were computed under; the energy
-    contracts them with the bank implied by the current q(brk)."""
+    contracts them with the bank implied by the current q(brk). The two
+    differ only at breakend pairs, so the energy term is the entropy term
+    plus a breakend-only correction."""
     ll_tot, ll_alle = emission_tensors(spec, params)
-    acc = xi_bank_sums(spec, state)
-
-    bank_used = full_bank(spec, state.p_breakpoint_used) * state.chain_scale
-    bank_cur = full_bank(spec, state.p_breakpoint)
+    trans_dot_used, trans_dot_cur = xi_transition_dots(spec, state)
 
     entropy = -state.hmm_log_norm_const
     entropy += jnp.sum(state.posterior_marginals * state.framelogprob)
-    entropy += jnp.sum(acc * bank_used)
+    entropy += trans_dot_used
     entropy += jnp.sum(plogp(state.p_breakpoint))
     entropy += jnp.sum(plogp(state.p_outlier_total))
     entropy += jnp.sum(plogp(state.p_outlier_allele))
@@ -644,7 +670,7 @@ def calculate_elbo(spec, params, state):
                          state.p_outlier_allele, state.p_allele_swap, ll_alle)
     energy += jnp.sum(state.p_outlier_allele[:, 0]) * jnp.log(1.0 - spec.prior_outlier_allele)
     energy += jnp.sum(state.p_outlier_allele[:, 1]) * jnp.log(spec.prior_outlier_allele)
-    energy += jnp.sum(acc * bank_cur)
+    energy += trans_dot_cur
 
     return energy - entropy
 

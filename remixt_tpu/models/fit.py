@@ -160,7 +160,7 @@ class BreakpointModel:
         brk_states = states_mod.enumerate_brk_states(
             num_clones, self.max_copy_number, self.max_copy_number_diff)
 
-        return eng.ModelSpec(
+        spec = eng.ModelSpec(
             cn_states=cn_states,
             brk_states=brk_states,
             l=self.l1,
@@ -174,6 +174,12 @@ class BreakpointModel:
             transition_model=self.transition_model,
             dtype=self.dtype,
         )
+
+        # the Pallas forward-backward kernel runs on TPU in float32
+        import jax
+        spec.use_pallas = (jax.default_backend() not in ('cpu',)
+                           and self.dtype == jnp.float32)
+        return spec
 
     def _init_p_breakpoint(self):
         """Optional informative q(brk) init (cn_model.py:389-402)."""

@@ -1,0 +1,287 @@
+"""Pallas TPU forward-backward kernel for the chain-batched scan.
+
+The lax.scan path (ops/fb_scan.py) gathers a (Q, S, S) transition slab from
+HBM every step — ~2·N·S² floats per sweep — even though ~90% of lanes use
+one of a handful of class matrices. This kernel keeps the static matrices
+(telomere cut + class pairs) resident in VMEM and DMAs only the per-breakend
+matrices on the steps that need them (a precomputed compact schedule),
+reducing transition traffic per sweep from ~2·N·S² to ~2·2K·S².
+
+Numerics match fb_scan's real-space semiring: transition log-weights are
+<= 0 so exp-weights lie in [0, 1]; per-lane max shift; sums floored at the
+f32 tiny threshold so unreachable states clamp ~85 nats below the lane
+maximum (below posterior precision) instead of producing -inf/NaN chains.
+
+Layout: S padded to a lane multiple (128), Q padded to a sublane multiple
+(8). Pad states carry frame = NEG and zero transition weight; pad lanes are
+cut chains with zero frames. Per-lane class selection streams as a one-hot
+plane (channel capacity 128 classes); breakend (step, lane, slot) triples
+stream through scalar-prefetch SMEM.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+TINY = 1e-37
+CLS_CHANNELS = 128
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def build_pallas_plan(chain_bank_idx_np, num_static_bank, Q, L, S):
+    """Host-side kernel schedule.
+
+    Returns dict with padded dims, the streamed one-hot class plane
+    (L, Qp, 128) (step t's pair between positions t and t+1 lives at row
+    t+1, aligning with the kernel's grid), and the compact breakend schedule
+    (step_row, k) -> (lane, breakend index), -1 padded.
+    """
+    Sp = _round_up(S, 128)
+    Qp = _round_up(max(Q, 8), 8)
+    nsteps = max(L - 1, 1)
+
+    cls_idx = chain_bank_idx_np.T.copy()  # (L-1, Q) step-major
+    is_be = cls_idx >= num_static_bank
+    be_slot = np.where(is_be, cls_idx - num_static_bank, 0)
+    cls_idx = np.where(is_be, 0, cls_idx)
+    if num_static_bank > CLS_CHANNELS:
+        raise ValueError('too many static transition classes for the kernel')
+
+    # one-hot class plane, rows aligned to grid position t = step + 1
+    cls_onehot = np.zeros((L, Qp, CLS_CHANNELS), dtype=np.float32)
+    for t in range(1, L):
+        for q in range(Q):
+            cls_onehot[t, q, cls_idx[t - 1, q]] = 1.0
+        cls_onehot[t, Q:, 0] = 1.0  # pad lanes: cut
+    cls_onehot[0, :, 0] = 1.0
+
+    steps, lanes = np.nonzero(is_be)
+    kmax = int(np.bincount(steps, minlength=1).max()) if len(steps) else 1
+    kmax = max(kmax, 1)
+    # schedule rows aligned to grid position t = step + 1; row 0 unused
+    sched_lane = -np.ones((L, kmax), dtype=np.int32)
+    sched_slot = np.zeros((L, kmax), dtype=np.int32)
+    fill = np.zeros(L, dtype=np.int32)
+    for t, q in zip(steps, lanes):
+        row = t + 1
+        sched_lane[row, fill[row]] = q
+        sched_slot[row, fill[row]] = be_slot[t, q]
+        fill[row] += 1
+
+    return dict(Sp=Sp, Qp=Qp, kmax=kmax, cls_onehot=cls_onehot,
+                sched_lane=sched_lane, sched_slot=sched_slot)
+
+
+def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
+                       frame_ref, cls_ref, static_exp_ref, be_exp_ref,
+                       out_ref, carry_ref, be_scratch, sems,
+                       *, kmax, num_static, reverse):
+    """One grid step = one chain position; VMEM scratch carries the running
+    message. Resident-class result first, then breakend lane fix-ups through
+    the refs."""
+    t = pl.program_id(0)
+    Qp = carry_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _init():
+        if reverse:
+            carry_ref[:, :] = jnp.zeros_like(carry_ref)
+            out_ref[0, :, :] = jnp.zeros_like(carry_ref)
+        else:
+            carry_ref[:, :] = frame_ref[0, :, :]
+            out_ref[0, :, :] = frame_ref[0, :, :]
+
+    @pl.when(t > 0)
+    def _step():
+        for k in range(kmax):
+            lane = sched_lane_ref[t, k]
+
+            @pl.when(lane >= 0)
+            def _start(k=k):
+                slot = sched_slot_ref[t, k]
+                pltpu.make_async_copy(
+                    be_exp_ref.at[slot], be_scratch.at[k], sems.at[k]).start()
+
+        if reverse:
+            carry = carry_ref[:, :] + frame_ref[0, :, :]
+        else:
+            carry = carry_ref[:, :]
+
+        cmax = jnp.max(carry, axis=-1, keepdims=True)
+        u = jnp.exp(carry - cmax)
+
+        cut = jnp.log(jnp.maximum(
+            jnp.sum(u, axis=-1, keepdims=True), TINY)) + cmax
+        result = jnp.broadcast_to(cut, u.shape)
+
+        for c in range(1, num_static):
+            mat = static_exp_ref[c, :, :]
+            if reverse:
+                s = jnp.dot(u, mat.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            else:
+                s = jnp.dot(u, mat, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            val = jnp.log(jnp.maximum(s, TINY)) + cmax
+            lane_is_c = cls_ref[0, :, c:c + 1] > 0.5
+            result = jnp.where(lane_is_c, val, result)
+
+        if reverse:
+            out_ref[0, :, :] = result
+            carry_ref[:, :] = result
+        else:
+            out_val = result + frame_ref[0, :, :]
+            out_ref[0, :, :] = out_val
+            carry_ref[:, :] = out_val
+
+        for k in range(kmax):
+            lane = sched_lane_ref[t, k]
+
+            @pl.when(lane >= 0)
+            def _apply(k=k):
+                slot = sched_slot_ref[t, k]
+                pltpu.make_async_copy(
+                    be_exp_ref.at[slot], be_scratch.at[k], sems.at[k]).wait()
+                onehot = (jax.lax.broadcasted_iota(jnp.int32, (Qp, 1), 0)
+                          == lane)
+                u_lane = jnp.sum(jnp.where(onehot, u, 0.0),
+                                 axis=0, keepdims=True)
+                cmax_lane = jnp.sum(jnp.where(onehot, cmax, 0.0),
+                                    axis=0, keepdims=True)
+                if reverse:
+                    s = jnp.dot(u_lane, be_scratch[k, :, :].T,
+                                preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                else:
+                    s = jnp.dot(u_lane, be_scratch[k, :, :],
+                                preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                val = jnp.log(jnp.maximum(s, TINY)) + cmax_lane
+                if reverse:
+                    fixed = jnp.broadcast_to(val, carry_ref.shape)
+                else:
+                    fixed = jnp.broadcast_to(
+                        val, carry_ref.shape) + frame_ref[0, :, :]
+                out_ref[0, :, :] = jnp.where(onehot, fixed, out_ref[0, :, :])
+                carry_ref[:, :] = jnp.where(onehot, fixed, carry_ref[:, :])
+
+
+def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse):
+    """frame_tm: (L, Qp, Sp) time-major frame input for this direction
+    (already flipped/shifted for reverse). Returns (L, Qp, Sp)."""
+    L, Qp, Sp = frame_tm.shape
+    kmax = plan['kmax']
+    num_static = static_exp.shape[0]
+
+    sched_lane = plan['sched_lane']
+    sched_slot = plan['sched_slot']
+    if reverse:
+        # grid row t pairs carried beta at flipped position t-1 with the
+        # original pair index L-1-t; original row alignment was step+1
+        sched_lane = np.concatenate(
+            [-np.ones((1, kmax), np.int32), sched_lane[1:][::-1]], axis=0)
+        sched_slot = np.concatenate(
+            [np.zeros((1, kmax), np.int32), sched_slot[1:][::-1]], axis=0)
+        cls_onehot = np.concatenate(
+            [cls_onehot[:1], cls_onehot[1:][::-1]], axis=0)
+
+    kernel = functools.partial(
+        _fb_kernel_wrapped, kmax=kmax, num_static=num_static, reverse=reverse)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, CLS_CHANNELS), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # static_exp resident
+            pl.BlockSpec(memory_space=pltpu.ANY),    # be_exp stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
+            pltpu.VMEM((kmax, Sp, Sp), jnp.float32),           # breakend mats
+            pltpu.SemaphoreType.DMA((kmax,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, Qp, Sp), jnp.float32),
+    )(jnp.asarray(sched_lane), jnp.asarray(sched_slot),
+      frame_tm, jnp.asarray(cls_onehot), static_exp, be_exp)
+
+
+def forward_backward_chains_pallas(framelogprob, static_bank, be_bank,
+                                   chain_seg_map, chain_last, plan):
+    """Drop-in replacement for fb_scan.forward_backward_chains on TPU/f32.
+
+    Args:
+        framelogprob: (N, S) emission log probs
+        static_bank: (num_static, S, S) static transition log-weights
+        be_bank: (J, S, S) breakend transition log-weights (current q(brk))
+        chain_seg_map: (Q, L) global segment index, N for pads
+        chain_last: (Q,) last real position per chain
+        plan: build_pallas_plan output
+
+    Returns:
+        alphas (N, S), betas (N, S), log_norm (scalar)
+    """
+    N, S = framelogprob.shape
+    Q, L = chain_seg_map.shape
+    Sp, Qp = plan['Sp'], plan['Qp']
+
+    pad_row = jnp.zeros((1, S), dtype=framelogprob.dtype)
+    frame_ext = jnp.concatenate([framelogprob, pad_row], axis=0)
+    F = frame_ext[chain_seg_map]                      # (Q, L, S)
+    Ft = jnp.swapaxes(F, 0, 1)                        # (L, Q, S)
+    Ftp = jnp.full((L, Qp, Sp), NEG, dtype=jnp.float32)
+    Ftp = Ftp.at[:, Q:, :].set(0.0)
+    Ftp = Ftp.at[:, :Q, :S].set(Ft.astype(jnp.float32))
+
+    static_exp = jnp.zeros((static_bank.shape[0], Sp, Sp), dtype=jnp.float32)
+    static_exp = static_exp.at[:, :S, :S].set(
+        jnp.exp(static_bank).astype(jnp.float32))
+    J = be_bank.shape[0]
+    be_exp = jnp.zeros((max(J, 1), Sp, Sp), dtype=jnp.float32)
+    if J:
+        be_exp = be_exp.at[:J, :S, :S].set(jnp.exp(be_bank).astype(jnp.float32))
+
+    alphas_tm = _run_direction(
+        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False)
+
+    # reverse frame input: H[t] = flipped F shifted by one (H[0] unused)
+    Hrev = jnp.concatenate(
+        [jnp.zeros((1, Qp, Sp), dtype=jnp.float32), Ftp[::-1][:-1]], axis=0)
+    betas_rev = _run_direction(
+        Hrev, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True)
+    betas_tm = betas_rev[::-1]
+
+    alphas_b = jnp.swapaxes(alphas_tm, 0, 1)[:Q, :, :S]   # (Q, L, S)
+    betas_b = jnp.swapaxes(betas_tm, 0, 1)[:Q, :, :S]
+
+    from remixt_tpu.ops.special import logsumexp
+    alpha_last = jnp.take_along_axis(
+        alphas_b, chain_last[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+    log_norm = jnp.sum(logsumexp(alpha_last, axis=-1))
+
+    alphas = jnp.zeros((N + 1, S), dtype=framelogprob.dtype)
+    alphas = alphas.at[chain_seg_map.reshape(-1)].set(
+        alphas_b.reshape(-1, S).astype(framelogprob.dtype))[:N]
+    betas = jnp.zeros((N + 1, S), dtype=framelogprob.dtype)
+    betas = betas.at[chain_seg_map.reshape(-1)].set(
+        betas_b.reshape(-1, S).astype(framelogprob.dtype))[:N]
+
+    return alphas, betas, log_norm

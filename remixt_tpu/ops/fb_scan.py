@@ -101,10 +101,24 @@ def forward_backward_chains(framelogprob, bank, chain_bank_idx, chain_seg_map,
         Ft = chain_constraint(Ft, 1)
         Bt = chain_constraint(Bt, 1)
 
+    # Real-space semiring: transition log-weights are <= 0, so exp(bank) is
+    # in [0, 1] and the per-step log-matvec becomes an MXU matmul after a
+    # per-lane max shift. Paths below the dtype underflow threshold relative
+    # to the lane maximum clip to zero exactly as in max-shifted logsumexp;
+    # a state whose every incoming path clips goes to -inf and recovers next
+    # step (its posterior mass is below precision either way). exp(bank) is
+    # loop-invariant and hoisted out of the scan by XLA.
+    exp_bank = jnp.exp(bank)
+
     def fwd_step(alpha, inputs):
         bidx, f_next = inputs                         # (Q,), (Q, S)
-        tmat = bank[bidx]                             # (Q, S, S)
-        alpha_next = logsumexp(alpha[:, :, None] + tmat, axis=1) + f_next
+        P = exp_bank[bidx]                            # (Q, S, S)
+        amax = jnp.max(alpha, axis=-1, keepdims=True)
+        u = jnp.exp(alpha - amax)
+        s = jnp.einsum('qi,qij->qj', u, P,
+                       preferred_element_type=alpha.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+        alpha_next = jnp.log(s) + amax + f_next
         if chain_constraint is not None:
             alpha_next = chain_constraint(alpha_next, 0)
         return alpha_next, alpha_next
@@ -115,8 +129,16 @@ def forward_backward_chains(framelogprob, bank, chain_bank_idx, chain_seg_map,
 
     def bwd_step(beta, inputs):
         bidx, f_next = inputs
-        tmat = bank[bidx]
-        beta_prev = logsumexp(tmat + (f_next + beta)[:, None, :], axis=2)
+        P = exp_bank[bidx]
+        fb = f_next + beta
+        bmax = jnp.max(fb, axis=-1, keepdims=True)
+        w = jnp.exp(fb - bmax)
+        s = jnp.einsum('qij,qj->qi', P, w,
+                       preferred_element_type=beta.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+        beta_prev = jnp.log(s) + bmax
+        if chain_constraint is not None:
+            beta_prev = chain_constraint(beta_prev, 0)
         return beta_prev, beta_prev
 
     beta_last = jnp.zeros_like(alpha0)
