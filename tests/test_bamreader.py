@@ -240,3 +240,34 @@ def test_batched_reads(tmp_path):
     while reader.ReadAlignments(7):
         total += len(reader.GetFragmentTable().index)
     assert total == 20
+
+
+def test_create_chromosome_seqdata(tmp_path):
+    """BAM -> seqdata store integration (seqdataio.create_chromosome_seqdata)."""
+    import remixt_tpu.seqdataio as seqdataio
+
+    reads = []
+    for i in range(10):
+        reads += make_pair(f'frag_{i:03d}', 100 + 50 * i, 600 + 50 * i, 50)
+    read_dicts = sorted(reads, key=lambda r: r['pos'])
+    records = [bam_record(refid=0, cigar=r.get('cigar'), **{
+        k: v for k, v in r.items() if k != 'cigar'}) for r in read_dicts]
+    bam_path = str(tmp_path / 'sample.bam')
+    write_bam(bam_path, records)
+
+    snp_path = str(tmp_path / 'snps.tsv')
+    with open(snp_path, 'w') as f:
+        f.write('1\t111\tA\tC\n')
+
+    seqdata_path = str(tmp_path / 'seqdata.h5')
+    seqdataio.create_chromosome_seqdata(
+        seqdata_path, bam_path, snp_path, '1',
+        max_fragment_length=1000, max_soft_clipped=8, check_proper_pair=True)
+
+    fragments = seqdataio.read_fragment_data(
+        seqdata_path, '1', filter_duplicates=None, map_qual_threshold=None)
+    assert len(fragments.index) == 10
+    alleles = seqdataio.read_allele_data(seqdata_path, '1')
+    # SNP at 110 (0-based) covered by the first read of fragment 0 only
+    assert len(alleles.index) == 1
+    assert alleles['position'].iloc[0] == 111
