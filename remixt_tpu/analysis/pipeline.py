@@ -120,11 +120,36 @@ def fit_task(results_filename, experiment_filename, init_params, config):
 
 def fit(experiment, init_params, config):
     """Fit one restart (analysis/pipeline.py:127-228)."""
-    h_init = np.array([
-        init_params['h_normal'],
-        init_params['h_tumour'] * init_params['mix_frac'],
-        init_params['h_tumour'] * (1. - init_params['mix_frac']),
-    ])
+    model = build_model(experiment, init_params, config)
+    return fit_with_model(model, experiment, init_params, config)
+
+
+def fit_many(experiment, init_params_dict, config):
+    """Fit every restart sharing one model (state space, compiled engine).
+
+    The restart grid shares a common max_depth by construction
+    (analysis/pipeline.py:85-88), so only the divergence weight and h
+    initialization vary — both traced parameters. This replaces the
+    reference's one-cluster-job-per-restart fan-out with a single process
+    reusing compiled kernels across the grid.
+
+    Returns {init_id: fit_results}.
+    """
+    results = {}
+    model = None
+    for init_id, init_params in init_params_dict.items():
+        if model is None:
+            model = build_model(experiment, init_params, config)
+        else:
+            model.reset_restart(
+                max_depth=init_params['max_depth'],
+                divergence_weight=init_params['divergence_weight'])
+        results[init_id] = fit_with_model(model, experiment, init_params, config)
+    return results
+
+
+def build_model(experiment, init_params, config):
+    """Construct the BreakpointModel for a restart's configuration."""
     divergence_weight = init_params['divergence_weight']
     max_depth = init_params['max_depth']
 
@@ -141,21 +166,6 @@ def fit(experiment, init_params, config):
     disable_breakpoints = get('disable_breakpoints')
     is_female = get('is_female')
     do_h_update = get('do_h_update')
-
-    # convergence-testing hook: initialize breakpoints from simulated truth
-    breakpoint_init = None
-    if config.get('optimal_initialization', False):
-        breakpoint_init = (
-            experiment.genome_mixture.genome_collection.collapsed_breakpoint_copy_number())
-        for bp in experiment.genome_mixture.detected_breakpoints.values():
-            if bp not in breakpoint_init:
-                breakpoint_init[bp] = np.zeros((experiment.genome_mixture.M,))
-        swap = (experiment.h[1] < experiment.h[2]) != (h_init[1] < h_init[2])
-        if swap:
-            for bp, cn in breakpoint_init.items():
-                cn = cn.copy()
-                cn[1:] = cn[1:][::-1]
-                breakpoint_init[bp] = cn
 
     normal_copies = np.array([[1, 1]] * experiment.l.shape[0])
     if not is_female:
@@ -176,7 +186,6 @@ def fit(experiment, init_params, config):
         max_depth=max_depth,
         normal_copies=normal_copies,
         disable_breakpoints=disable_breakpoints,
-        breakpoint_init=breakpoint_init,
         do_h_update=do_h_update,
         random_seed=config.get('random_seed', 1234),
         dtype=dtype,
@@ -184,6 +193,34 @@ def fit(experiment, init_params, config):
 
     model.num_em_iter = num_em_iter
     model.num_update_iter = num_update_iter
+
+    return model
+
+
+def fit_with_model(model, experiment, init_params, config):
+    """Run one restart on a (possibly shared) model and extract results."""
+    h_init = np.array([
+        init_params['h_normal'],
+        init_params['h_tumour'] * init_params['mix_frac'],
+        init_params['h_tumour'] * (1. - init_params['mix_frac']),
+    ])
+    disable_breakpoints = remixt_tpu.config.get_param(config, 'disable_breakpoints')
+
+    # convergence-testing hook: initialize breakpoints from simulated truth
+    model.breakpoint_init = None
+    if config.get('optimal_initialization', False):
+        breakpoint_init = (
+            experiment.genome_mixture.genome_collection.collapsed_breakpoint_copy_number())
+        for bp in experiment.genome_mixture.detected_breakpoints.values():
+            if bp not in breakpoint_init:
+                breakpoint_init[bp] = np.zeros((experiment.genome_mixture.M,))
+        swap = (experiment.h[1] < experiment.h[2]) != (h_init[1] < h_init[2])
+        if swap:
+            for bp, cn in breakpoint_init.items():
+                cn = cn.copy()
+                cn[1:] = cn[1:][::-1]
+                breakpoint_init[bp] = cn
+        model.breakpoint_init = breakpoint_init
 
     model.fit(h_init)
 

@@ -137,6 +137,47 @@ def plot_depth(ax, read_depth, minor_modes=None):
     ax.legend(fontsize=7)
 
 
+def filled_density_weighted(ax, data, weights, c, a, xmin, xmax, cov,
+                            rotate=False):
+    """Weighted KDE with filled area (cn_plot.py:20-33)."""
+    from scipy.stats import gaussian_kde
+    samples = remixt_tpu.utils.weighted_resample(data, weights)
+    samples = samples[(samples >= xmin) & (samples <= xmax)]
+    if len(samples) < 2:
+        return
+    density = gaussian_kde(samples, bw_method=cov)
+    grid = np.linspace(xmin, xmax, 300)
+    values = density(grid)
+    if rotate:
+        ax.fill_betweenx(grid, 0, values, color=c, alpha=a)
+    else:
+        ax.fill_between(grid, 0, values, color=c, alpha=a)
+
+
+def plot_breakpoints_genome(ax, breakpoint, chromosome_info, scale_height=1.0):
+    """Breakpoint arcs over a genome axis (cn_plot.py:430-471).
+
+    `chromosome_info` maps chromosome -> (offset, length) as produced by
+    plot_cnv_genome; `breakpoint` is a prediction table with
+    chromosome_1/2 and position_1/2 columns.
+    """
+    from matplotlib.patches import Arc
+
+    ymin, ymax = ax.get_ylim()
+    for _, row in breakpoint.iterrows():
+        c1, c2 = str(row['chromosome_1']), str(row['chromosome_2'])
+        if c1 not in chromosome_info or c2 not in chromosome_info:
+            continue
+        x1 = chromosome_info[c1][0] + row['position_1']
+        x2 = chromosome_info[c2][0] + row['position_2']
+        center = (x1 + x2) / 2.0
+        width = abs(x2 - x1)
+        height = (ymax - ymin) * 0.3 * scale_height
+        arc = Arc((center, ymax), width, height, theta1=180, theta2=360,
+                  color='0.4', lw=0.6, alpha=0.7)
+        ax.add_patch(arc)
+
+
 def experiment_plot(experiment, cn, h, maxcopies=4, chromosome=None,
                     start=None, end=None):
     """Summary figure: inferred genome track per clone plus raw

@@ -129,6 +129,138 @@ def update_param(spec, params, state, name, bounds, rng, weights=None):
     return candidate, True
 
 
+def _h_update_fn(spec):
+    """Jitted single-dispatch h update: backtracking gradient ascent on the
+    subsample objective plus the full-data accept/reject, all in-graph.
+
+    Replaces the host-driven L-BFGS-B loop (tens of blocking device
+    round-trips per EM iteration) with one device call; the
+    reject-on-worse guard (cn_model.py:526-531) is preserved.
+    """
+    cache = spec._jit_cache
+    if 'h_update' not in cache:
+        import functools
+
+        n_outer = 12
+        n_scales = 8
+
+        def f(params, state, sample, full):
+            def obj(h):
+                return eng.expected_log_likelihood(
+                    spec, params._replace(h=h), state, sample)
+
+            def outer(carry, _):
+                h, rel_step = carry
+                val, g = jax.value_and_grad(obj)(h)
+                gnorm = jnp.linalg.norm(g) + 1e-12
+                hnorm = jnp.linalg.norm(h) + 1e-12
+                scales = rel_step * (0.5 ** jnp.arange(n_scales, dtype=h.dtype))
+
+                def try_scale(s):
+                    h_new = jnp.clip(h + s * (hnorm / gnorm) * g, 1e-8, 10.0)
+                    return h_new, obj(h_new)
+
+                cands, vals = jax.vmap(try_scale)(scales)
+                best = jnp.argmax(vals)
+                improved = vals[best] > val
+                h_next = jnp.where(improved, cands[best], h)
+                step_next = jnp.where(improved,
+                                      jnp.minimum(scales[best] * 2.0, 1.0),
+                                      rel_step * (0.5 ** n_scales))
+                return (h_next, step_next), None
+
+            rel0 = jnp.asarray(0.25, dtype=params.h.dtype)
+            (h_fin, _), _ = jax.lax.scan(outer, (params.h, rel0), None,
+                                         length=n_outer)
+
+            def obj_full(h):
+                return eng.expected_log_likelihood(
+                    spec, params._replace(h=h), state, full)
+
+            accept = obj_full(h_fin) >= obj_full(params.h)
+            h_out = jnp.where(accept, h_fin, params.h)
+            return params._replace(h=h_out), accept
+
+        cache['h_update'] = jax.jit(f)
+    return cache['h_update']
+
+
+def update_h_fused(spec, params, state, rng):
+    """Single-dispatch EM h update."""
+    sample = jnp.asarray(create_sample(rng, spec.N), dtype=spec.dtype)
+    full = jnp.ones(spec.N, dtype=spec.dtype)
+    params, accept = _h_update_fn(spec)(params, state, sample, full)
+    return params, bool(accept)
+
+
+def _params_update_fn(spec, names, bounds):
+    """Jitted single-dispatch update of all scalar likelihood parameters:
+    per-parameter 3-level batched grid zoom on its subsample plus full-data
+    accept/reject, sequentially in-graph (brute-replacement,
+    cn_model.py:533-569)."""
+    cache = spec._jit_cache
+    key = ('params_update', names)
+    if key not in cache:
+        levels = GRID_LEVELS
+        points = GRID_POINTS
+        grid01 = jnp.linspace(0.0, 1.0, points)
+
+        def f(params, state, samples, full):
+            accepts = []
+            for i, name in enumerate(names):
+                lo_c, hi_c = bounds[name]
+                sample = samples[i]
+
+                def level(carry, _, name=name, lo_c=lo_c, hi_c=hi_c,
+                          sample=sample, params=params):
+                    lo, hi, best = carry
+                    values = lo + (hi - lo) * grid01.astype(spec.dtype)
+
+                    def one(v):
+                        return eng.expected_log_likelihood(
+                            spec, params._replace(**{name: v}), state, sample)
+
+                    objs = jax.vmap(one)(values)
+                    idx = jnp.argmax(objs)
+                    best = values[idx]
+                    step = (hi - lo) / (points - 1)
+                    lo = jnp.maximum(jnp.asarray(lo_c, spec.dtype), best - step)
+                    hi = jnp.minimum(jnp.asarray(hi_c, spec.dtype), best + step)
+                    return (lo, hi, best), None
+
+                init = (jnp.asarray(lo_c, spec.dtype),
+                        jnp.asarray(hi_c, spec.dtype),
+                        getattr(params, name))
+                (_, _, best), _ = jax.lax.scan(level, init, None, length=levels)
+
+                def ell_at(v, name=name):
+                    return eng.expected_log_likelihood(
+                        spec, params._replace(**{name: v}), state, full)
+
+                accept = ell_at(best) >= ell_at(getattr(params, name))
+                new_val = jnp.where(accept, best, getattr(params, name))
+                params = params._replace(**{name: new_val})
+                accepts.append(accept)
+            return params, jnp.stack(accepts)
+
+        cache[key] = jax.jit(f)
+    return cache[key]
+
+
+def update_params_fused(spec, params, state, names, bounds, rng,
+                        weights_list=None):
+    """Single-dispatch EM update of all scalar likelihood parameters."""
+    samples = []
+    for i, name in enumerate(names):
+        weights = None if weights_list is None else weights_list[i]
+        samples.append(create_sample(rng, spec.N, weights))
+    samples = jnp.asarray(np.stack(samples), dtype=spec.dtype)
+    full = jnp.ones(spec.N, dtype=spec.dtype)
+    params, accepts = _params_update_fn(spec, tuple(names), bounds)(
+        params, state, samples, full)
+    return params, np.asarray(accepts)
+
+
 def param_sample_weights(spec, state, name):
     """Posterior-responsibility sampling weights per parameter
     (cn_model.py:309-352)."""

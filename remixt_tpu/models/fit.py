@@ -196,12 +196,37 @@ class BreakpointModel:
 
     # -- fitting -------------------------------------------------------------
 
+    def reset_restart(self, max_depth=None, divergence_weight=None):
+        """Re-point this model at a new restart's configuration without
+        rebuilding the state space or recompiling: masks and the divergence
+        weight are traced Params fields, so the spec and all jitted engine
+        functions are shared across the whole restart grid (the reference
+        spends one 32 GB job per restart instead — workflow.py:318-340)."""
+        if divergence_weight is not None:
+            self.divergence_weight = divergence_weight
+        if max_depth is not None:
+            self.max_depth = max_depth
+            self._total_likelihood_mask = np.ones(self.N1, dtype=bool)
+            self._allele_likelihood_mask = np.ones(self.N1, dtype=bool)
+            self._total_likelihood_mask &= (self.l1 >= self.min_segment_length)
+            self._allele_likelihood_mask &= (self.l1 >= self.min_segment_length)
+            p = self.x1[:, :2].sum(axis=1).astype(float) / (
+                self.x1[:, 2].astype(float) + 1e-16)
+            self._allele_likelihood_mask &= (p >= self.min_proportion_genotyped)
+            depth = self.x1[:, 2].astype(float) / (self.l1.astype(float) + 1e-16)
+            self._total_likelihood_mask &= (depth <= self.max_depth)
+            self._allele_likelihood_mask &= (depth <= self.max_depth)
+        self.prev_elbo = None
+        self.prev_elbo_diff = None
+
     def fit(self, h_init):
         """EM × VI fit loop (cn_model.py:354-428)."""
         h_init = np.asarray(h_init, dtype=float)
         M = h_init.shape[0]
 
-        self.spec = self._build_spec(M)
+        if self.spec is None or getattr(self, '_spec_num_clones', None) != M:
+            self.spec = self._build_spec(M)
+            self._spec_num_clones = M
         self.params = self.spec.init_params(
             h_init, self.divergence_weight,
             total_mask=self._total_likelihood_mask.astype(float),
@@ -285,22 +310,37 @@ class BreakpointModel:
 
     def em_update_h(self):
         def step():
-            self.params, accepted = em_mod.update_h(
+            self.params, accepted = em_mod.update_h_fused(
                 self.spec, self.params, self.state, self._rng)
             if not accepted:
                 logger.info('    h update rejected')
         self._elbo_guard('h', step)
 
     def em_update_params(self):
-        for name in self.likelihood_params:
-            def step(name=name):
-                weights = em_mod.param_sample_weights(self.spec, self.state, name)
-                self.params, accepted = em_mod.update_param(
-                    self.spec, self.params, self.state, name,
-                    self.likelihood_param_bounds[name], self._rng, weights)
-                if not accepted:
-                    logger.info('    %s update rejected', name)
-            self._elbo_guard(name, step)
+        if self.check_elbo:
+            # stepwise host path with per-parameter ELBO guards
+            for name in self.likelihood_params:
+                def step(name=name):
+                    weights = em_mod.param_sample_weights(
+                        self.spec, self.state, name)
+                    self.params, accepted = em_mod.update_param(
+                        self.spec, self.params, self.state, name,
+                        self.likelihood_param_bounds[name], self._rng, weights)
+                    if not accepted:
+                        logger.info('    %s update rejected', name)
+                self._elbo_guard(name, step)
+            return
+
+        # fused single-dispatch path
+        weights_list = [
+            em_mod.param_sample_weights(self.spec, self.state, name)
+            for name in self.likelihood_params]
+        self.params, accepts = em_mod.update_params_fused(
+            self.spec, self.params, self.state, self.likelihood_params,
+            self.likelihood_param_bounds, self._rng, weights_list)
+        for name, accepted in zip(self.likelihood_params, accepts):
+            if not accepted:
+                logger.info('    %s update rejected', name)
 
     # -- outputs -------------------------------------------------------------
 

@@ -289,14 +289,24 @@ def create_fit_model_workflow(experiment_filename, results_filename, config,
 
 
 def fit_all_restarts(fit_results_dir, experiment_filename, init_params, config):
-    """Run every restart fit in-process (the restart axis is device-parallel,
-    not job-parallel). Returns {init_id: results_filename}."""
+    """Run every restart fit in-process, sharing one model so the state
+    space and compiled engine are reused across the whole restart grid.
+    Returns {init_id: results_filename}."""
+    import pickle
+
     os.makedirs(fit_results_dir, exist_ok=True)
+
+    with open(experiment_filename, 'rb') as f:
+        experiment = pickle.load(f)
+
+    all_results = remixt_tpu.analysis.pipeline.fit_many(
+        experiment, init_params, config)
+
     fit_results_filenames = {}
-    for init_id, params in init_params.items():
+    for init_id, fit_results in all_results.items():
         results_filename = os.path.join(fit_results_dir, f'fit_{init_id}.pickle')
-        remixt_tpu.analysis.pipeline.fit_task(
-            results_filename, experiment_filename, params, config)
+        with open(results_filename, 'wb') as f:
+            pickle.dump(fit_results, f)
         fit_results_filenames[init_id] = results_filename
     return fit_results_filenames
 
