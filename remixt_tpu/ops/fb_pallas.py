@@ -66,15 +66,16 @@ def build_pallas_plan(chain_bank_idx_np, num_static_bank, Q, L, S):
     steps, lanes = np.nonzero(is_be)
     kmax = int(np.bincount(steps, minlength=1).max()) if len(steps) else 1
     kmax = max(kmax, 1)
-    # schedule rows aligned to grid position t = step + 1; row 0 unused
-    sched_lane = -np.ones((L, kmax), dtype=np.int32)
-    sched_slot = np.zeros((L, kmax), dtype=np.int32)
+    # schedule laid out (kmax, L) so SMEM tile padding hits the small axis;
+    # columns aligned to grid position t = step + 1 (column 0 unused)
+    sched_lane = -np.ones((kmax, L), dtype=np.int32)
+    sched_slot = np.zeros((kmax, L), dtype=np.int32)
     fill = np.zeros(L, dtype=np.int32)
     for t, q in zip(steps, lanes):
-        row = t + 1
-        sched_lane[row, fill[row]] = q
-        sched_slot[row, fill[row]] = be_slot[t, q]
-        fill[row] += 1
+        col = t + 1
+        sched_lane[fill[col], col] = q
+        sched_slot[fill[col], col] = be_slot[t, q]
+        fill[col] += 1
 
     return dict(Sp=Sp, Qp=Qp, kmax=kmax, cls_onehot=cls_onehot,
                 sched_lane=sched_lane, sched_slot=sched_slot)
@@ -102,11 +103,11 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
     @pl.when(t > 0)
     def _step():
         for k in range(kmax):
-            lane = sched_lane_ref[t, k]
+            lane = sched_lane_ref[k, t]
 
             @pl.when(lane >= 0)
             def _start(k=k):
-                slot = sched_slot_ref[t, k]
+                slot = sched_slot_ref[k, t]
                 pltpu.make_async_copy(
                     be_exp_ref.at[slot], be_scratch.at[k], sems.at[k]).start()
 
@@ -143,11 +144,11 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
             carry_ref[:, :] = out_val
 
         for k in range(kmax):
-            lane = sched_lane_ref[t, k]
+            lane = sched_lane_ref[k, t]
 
             @pl.when(lane >= 0)
             def _apply(k=k):
-                slot = sched_slot_ref[t, k]
+                slot = sched_slot_ref[k, t]
                 pltpu.make_async_copy(
                     be_exp_ref.at[slot], be_scratch.at[k], sems.at[k]).wait()
                 onehot = (jax.lax.broadcasted_iota(jnp.int32, (Qp, 1), 0)
@@ -184,12 +185,12 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse):
     sched_lane = plan['sched_lane']
     sched_slot = plan['sched_slot']
     if reverse:
-        # grid row t pairs carried beta at flipped position t-1 with the
-        # original pair index L-1-t; original row alignment was step+1
+        # grid column t pairs carried beta at flipped position t-1 with the
+        # original pair index L-1-t; original column alignment was step+1
         sched_lane = np.concatenate(
-            [-np.ones((1, kmax), np.int32), sched_lane[1:][::-1]], axis=0)
+            [-np.ones((kmax, 1), np.int32), sched_lane[:, 1:][:, ::-1]], axis=1)
         sched_slot = np.concatenate(
-            [np.zeros((1, kmax), np.int32), sched_slot[1:][::-1]], axis=0)
+            [np.zeros((kmax, 1), np.int32), sched_slot[:, 1:][:, ::-1]], axis=1)
         cls_onehot = np.concatenate(
             [cls_onehot[:1], cls_onehot[1:][::-1]], axis=0)
 

@@ -17,13 +17,25 @@ from remixt_tpu.simulations import simple as sim
 
 def make_tables(data, segment_length=5e5):
     """Build count and breakpoint tables in the reference's TSV schema from a
-    simulated experiment."""
+    simulated experiment. Chains become chromosomes (positions restart per
+    chromosome) so the Experiment path reproduces the simulated chain
+    structure."""
     N = data['x'].shape[0]
-    start = (np.arange(N) * segment_length + 1).astype(int)
-    end = ((np.arange(N) + 1) * segment_length).astype(int)
+
+    # chromosome per segment from chain boundaries (missing adjacencies)
+    chrom_ids = np.zeros(N, dtype=int)
+    for n in range(N - 1):
+        chrom_ids[n + 1] = chrom_ids[n] + (
+            0 if (n, n + 1) in data['adjacencies'] else 1)
+    pos_in_chrom = np.zeros(N, dtype=int)
+    for n in range(1, N):
+        pos_in_chrom[n] = (pos_in_chrom[n - 1] + 1
+                           if chrom_ids[n] == chrom_ids[n - 1] else 0)
+    start = (pos_in_chrom * segment_length + 1).astype(int)
+    end = ((pos_in_chrom + 1) * segment_length).astype(int)
 
     count_data = pd.DataFrame({
-        'chromosome': ['1'] * N,
+        'chromosome': [str(c + 1) for c in chrom_ids],
         'start': start,
         'end': end,
         'length': data['l'],
@@ -39,10 +51,10 @@ def make_tables(data, segment_length=5e5):
         (na, sa), (nb, sb) = sorted(bp)
         rows.append({
             'prediction_id': bp_id,
-            'chromosome_1': '1',
+            'chromosome_1': str(chrom_ids[na] + 1),
             'strand_1': '+' if sa == 1 else '-',
             'position_1': int(end[na] if sa == 1 else start[na]),
-            'chromosome_2': '1',
+            'chromosome_2': str(chrom_ids[nb] + 1),
             'strand_2': '+' if sb == 1 else '-',
             'position_2': int(end[nb] if sb == 1 else start[nb]),
         })
