@@ -83,9 +83,14 @@ def read_sim_defs(sim_defs_filename):
 def create_simulations(sim_defs_filename, config, ref_data_dir):
     """Expand a YAML simulation definition into per-instance parameter dicts
     (pipeline.py:74-124)."""
-    chromosome_lengths = remixt_tpu.config.get_chromosome_lengths(config, ref_data_dir)
-
     sim_defs = yaml.safe_load(open(sim_defs_filename))
+
+    # reference chromosome lengths only needed when a simulation doesn't
+    # specify its own
+    chromosome_lengths = None
+    if ref_data_dir is not None:
+        chromosome_lengths = remixt_tpu.config.get_chromosome_lengths(
+            config, ref_data_dir)
 
     def instance_name(sim_name, sim_idx, rep_idx):
         return '{}_{}_{}'.format(sim_name, sim_idx, rep_idx)
@@ -121,6 +126,10 @@ def create_simulations(sim_defs_filename, config, ref_data_dir):
 
     for sim_params in simulations.values():
         if 'chromosome_lengths' not in sim_params:
+            if chromosome_lengths is None:
+                raise ValueError(
+                    'chromosome_lengths required in sim defs when no '
+                    'ref_data_dir is provided')
             chromosomes = sim_params.get(
                 'chromosomes', [str(a) for a in range(1, 23)])
             sim_params['chromosome_lengths'] = {
