@@ -53,18 +53,22 @@ def build_problem(N, num_events, seed=0):
     return spec, params, state
 
 
-def time_sweep(N, num_events, iters):
+def time_sweep(N, num_events, iters, repeats=3):
     import jax
     spec, params, state = build_problem(N, num_events)
 
     state = spec.sweep(params, state)  # compile
     jax.block_until_ready(state)
 
-    t0 = time.time()
-    for _ in range(iters):
-        state = spec.sweep(params, state)
-    jax.block_until_ready(state)
-    dt = (time.time() - t0) / iters
+    # median of repeated timing loops: tunnel/device conditions vary
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            state = spec.sweep(params, state)
+        jax.block_until_ready(state)
+        times.append((time.time() - t0) / iters)
+    dt = sorted(times)[len(times) // 2]
     assert np.isfinite(float(state.hmm_log_norm_const))
     return spec.N / dt
 
