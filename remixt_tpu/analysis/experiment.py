@@ -1,236 +1,232 @@
-"""Experiment assembly: count table + breakpoint table → model inputs.
+"""Experiment assembly: count table + breakpoint predictions -> model inputs.
 
-Mirrors /root/reference/remixt/analysis/experiment.py:8-422 — mapping
-breakpoints to segment extremities (within max_brk_dist), wild-type
-adjacencies (max 3 Mb gap), the Experiment container exposing x/l/
-adjacencies/breakpoints, and the output cn/brk_cn table builders.
+Capability parity with the reference experiment builder
+(/root/reference/remixt/analysis/experiment.py:8-422): map each predicted
+breakend to the closest segment extremity of matching chromosome and
+strand (within ``max_brk_dist`` summed over both ends), derive wild-type
+adjacencies (same-chromosome neighbours with gap at most ``max_seg_gap``),
+drop events that mimic wild-type adjacencies or loop back onto a single
+extremity, and expose the count matrix ``x``, lengths ``l``, adjacency
+set, chains, and breakpoint dictionary the inference engine consumes,
+plus the output cn/brk_cn table builders.
+
+The matcher here is a single vectorized pass: segment extremities and
+breakends are keyed by a composite integer ``(chromosome, strand) * 2^42
++ position`` so one ``searchsorted`` against the sorted extremity keys
+resolves every breakend at once — bucket boundaries fall out of the key
+comparison rather than a per-(chromosome, strand) loop.
 """
 
-import itertools
 import pickle
 
 import numpy as np
 import pandas as pd
 
-
-def find_closest(a, v):
-    """Index into sorted `a` of the element closest to each value in `v`,
-    plus the distance (experiment.py:8-35)."""
-    right_idx = np.minimum(np.searchsorted(a, v), len(a) - 1)
-    left_idx = np.maximum(right_idx - 1, 0)
-
-    left_dist = v - a[left_idx]
-    right_dist = a[right_idx] - v
-
-    least_dist_idx = np.where(left_dist < right_dist, left_idx, right_idx)
-    least_dist = np.minimum(left_dist, right_dist)
-
-    return least_dist_idx, least_dist
+_POS_BITS = 42  # genomic positions < 2^42 ~ 4.4e12
 
 
-def find_closest_segment_end(segment_data, breakpoint_data):
-    """Map each breakend to the closest segment extremity of matching
-    chromosome/strand (experiment.py:38-121).
+def _composite_keys(bucket, position):
+    return (bucket.astype(np.int64) << _POS_BITS) + position.astype(np.int64)
 
-    Returns columns: prediction_id, prediction_side, segment_idx,
-    segment_side, dist.
+
+def match_breakends_to_extremities(segment_data, breakpoint_data):
+    """Vectorized nearest-extremity assignment for every predicted breakend.
+
+    Each segment contributes two extremities: its start (strand '-',
+    segment_side 0) and its end (strand '+', segment_side 1).  A breakend
+    may only match an extremity on the same chromosome and strand.
+
+    Returns a DataFrame with one row per breakend: ``prediction_id``,
+    ``prediction_side`` (0/1), ``segment_idx``, ``segment_side``, and the
+    absolute ``dist`` to the matched extremity; breakends with no
+    same-bucket extremity are omitted.
+
+    Parity: reference analysis/experiment.py:38-121
+    (find_closest_segment_end).
     """
-    break_ends = segment_data_breakends(breakpoint_data)
+    n_seg = len(segment_data.index)
+    n_bp = len(breakpoint_data.index)
+    empty = pd.DataFrame(columns=[
+        'prediction_id', 'prediction_side', 'segment_idx', 'segment_side',
+        'dist'])
+    if n_seg == 0 or n_bp == 0:
+        return empty
 
-    segment_end = segment_data[['start', 'end']].rename(
-        columns={'start': 0, 'end': 1}).stack()
-    segment_end.name = 'position'
-    segment_end.index.names = ('segment_idx', 'segment_side')
-    segment_end = segment_end.reset_index()
-    segment_end = segment_end.merge(
-        segment_data[['chromosome']], left_on='segment_idx', right_index=True)
-    segment_end['strand'] = np.where(segment_end['segment_side'] == 0, '-', '+')
+    # shared chromosome coding across segments and both breakend columns
+    all_chroms = pd.concat([
+        segment_data['chromosome'].astype(str),
+        breakpoint_data['chromosome_1'].astype(str),
+        breakpoint_data['chromosome_2'].astype(str),
+    ], ignore_index=True)
+    chrom_codes, _ = pd.factorize(all_chroms)
+    seg_chrom = chrom_codes[:n_seg]
+    be_chrom = np.stack([
+        chrom_codes[n_seg:n_seg + n_bp],
+        chrom_codes[n_seg + n_bp:],
+    ], axis=1)
 
-    chromosomes = list(segment_end['chromosome'].unique())
-    strands = ('+', '-')
+    # extremity table: [all starts (side 0); all ends (side 1)]
+    ext_pos = np.concatenate([
+        segment_data['start'].values, segment_data['end'].values,
+    ]).astype(np.int64)
+    ext_side = np.repeat(np.array([0, 1]), n_seg)
+    ext_seg = np.tile(np.arange(n_seg), 2)
+    # bucket = chromosome * 2 + strand, where strand '+' <=> side 1
+    ext_bucket = np.tile(seg_chrom, 2) * 2 + ext_side
+    ext_keys = _composite_keys(ext_bucket, ext_pos)
+    order = np.argsort(ext_keys, kind='stable')
+    sorted_keys = ext_keys[order]
 
-    tables = []
-    for chromosome, strand in itertools.product(chromosomes, strands):
-        chrom_break_end = break_ends.loc[
-            (break_ends['chromosome'] == chromosome) &
-            (break_ends['strand'] == strand),
-            ['prediction_id', 'prediction_side', 'position'],
-        ].copy()
+    # breakend long-format arrays, two rows per prediction
+    be_pos = np.concatenate([
+        breakpoint_data['position_1'].values,
+        breakpoint_data['position_2'].values,
+    ]).astype(np.int64)
+    be_strand = np.concatenate([
+        (breakpoint_data['strand_1'].values == '+'),
+        (breakpoint_data['strand_2'].values == '+'),
+    ]).astype(np.int64)
+    be_bucket = np.concatenate([be_chrom[:, 0], be_chrom[:, 1]]) * 2 + be_strand
+    be_keys = _composite_keys(be_bucket, be_pos)
 
-        chrom_segment_end = segment_end.loc[
-            (segment_end['chromosome'] == chromosome) &
-            (segment_end['strand'] == strand),
-            ['segment_idx', 'segment_side', 'position'],
-        ].copy()
+    # nearest sorted extremity: candidates at the insertion point and one
+    # before it; a candidate only counts if it shares the bucket
+    insert = np.searchsorted(sorted_keys, be_keys)
+    best_idx = np.full(len(be_keys), -1)
+    best_dist = np.full(len(be_keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for cand in (np.clip(insert - 1, 0, len(order) - 1),
+                 np.clip(insert, 0, len(order) - 1)):
+        flat = order[cand]
+        same_bucket = ext_bucket[flat] == be_bucket
+        dist = np.abs(ext_pos[flat] - be_pos)
+        better = same_bucket & (dist < best_dist)
+        best_idx = np.where(better, flat, best_idx)
+        best_dist = np.where(better, dist, best_dist)
 
-        if len(chrom_segment_end.index) == 0 or len(chrom_break_end.index) == 0:
-            continue
-
-        chrom_segment_end = chrom_segment_end.sort_values('position').reset_index()
-
-        idx, dist = find_closest(
-            chrom_segment_end['position'].values, chrom_break_end['position'].values)
-
-        chrom_break_end['idx'] = idx
-        chrom_break_end['dist'] = dist
-
-        chrom_break_end = chrom_break_end.merge(
-            chrom_segment_end[['segment_idx', 'segment_side']],
-            left_on='idx', right_index=True)
-        chrom_break_end.drop(['idx', 'position'], axis=1, inplace=True)
-
-        tables.append(chrom_break_end)
-
-    if not tables:
-        return pd.DataFrame(columns=[
-            'prediction_id', 'prediction_side', 'dist',
-            'segment_idx', 'segment_side'])
-    return pd.concat(tables, ignore_index=True)
-
-
-def segment_data_breakends(breakpoint_data):
-    """Long-format breakend table from a breakpoint prediction table."""
-    break_ends = breakpoint_data[[
-        'prediction_id',
-        'chromosome_1', 'strand_1', 'position_1',
-        'chromosome_2', 'strand_2', 'position_2',
-    ]].copy()
-    break_ends.set_index('prediction_id', inplace=True)
-    break_ends.columns = pd.MultiIndex.from_tuples(
-        [tuple(c.split('_')) for c in break_ends.columns])
-    break_ends = break_ends.stack(future_stack=True)
-    break_ends.index.names = ('prediction_id', 'prediction_side')
-    break_ends = break_ends.reset_index()
-    break_ends['prediction_side'] = np.where(
-        break_ends['prediction_side'] == '1', 0, 1)
-    return break_ends
+    matched = best_idx >= 0
+    prediction_ids = np.tile(breakpoint_data['prediction_id'].values, 2)
+    prediction_side = np.repeat(np.array([0, 1]), n_bp)
+    return pd.DataFrame({
+        'prediction_id': prediction_ids[matched],
+        'prediction_side': prediction_side[matched],
+        'segment_idx': ext_seg[best_idx[matched]],
+        'segment_side': ext_side[best_idx[matched]],
+        'dist': best_dist[matched],
+    })
 
 
 def get_wild_type_adjacencies(segment_data, max_seg_gap):
-    """Pairs of same-chromosome adjacent segment indices with gap at most
-    max_seg_gap (experiment.py:124-143)."""
+    """Set of (idx, idx+1) pairs of same-chromosome neighbours whose gap is
+    at most ``max_seg_gap`` (parity: reference analysis/experiment.py:124-143)."""
     chrom = segment_data['chromosome'].values
-    start = segment_data['start'].values
-    end = segment_data['end'].values
+    gap = segment_data['start'].values[1:] - segment_data['end'].values[:-1]
+    adjacent = (chrom[1:] == chrom[:-1]) & (gap <= max_seg_gap)
+    return set((int(i), int(i) + 1) for i in np.flatnonzero(adjacent))
 
-    adjacencies = set()
-    for idx in range(len(segment_data.index) - 1):
-        same_chrom = chrom[idx] == chrom[idx + 1]
-        gap_length = start[idx + 1] - end[idx]
-        if same_chrom and gap_length <= max_seg_gap:
-            adjacencies.add((idx, idx + 1))
-    return adjacencies
+
+def _encode_pairs(a, b, base):
+    return np.asarray(a, dtype=np.int64) * base + np.asarray(b, dtype=np.int64)
 
 
 def create_breakpoint_segment_table(segment_data, breakpoint_data, adjacencies,
                                     max_brk_dist=2000):
-    """Breakpoints as pairs of segment extremities (experiment.py:146-216).
+    """Resolve breakpoint predictions to segment-extremity pairs.
 
-    Filters far-away breakends, events mimicking wild-type adjacencies, and
-    loop-back inversions.
+    Keeps predictions whose two breakends both matched extremities with
+    total distance at most ``max_brk_dist``; drops events that mimic a
+    wild-type adjacency and loop-back inversions onto a single extremity.
+    All filters run as vectorized masks.
+
+    Parity: reference analysis/experiment.py:146-216.
     """
-    closest_segments = find_closest_segment_end(segment_data, breakpoint_data)
+    columns = ['prediction_id', 'n_1', 'side_1', 'n_2', 'side_2']
+    matched = match_breakends_to_extremities(segment_data, breakpoint_data)
+    if len(matched.index) == 0:
+        return pd.DataFrame(columns=columns)
 
-    closest_segments = (
-        closest_segments.set_index(['prediction_id', 'prediction_side'])
-        .unstack()
-        .dropna()
-        .reset_index()
-    )
+    # wide layout: one row per prediction with both ends resolved
+    wide = matched.pivot(
+        index='prediction_id', columns='prediction_side',
+        values=['segment_idx', 'segment_side', 'dist'])
+    wide = wide.reindex(columns=pd.MultiIndex.from_product(
+        [['segment_idx', 'segment_side', 'dist'], [0, 1]])).dropna()
+    if len(wide.index) == 0:
+        return pd.DataFrame(columns=columns)
 
-    breakpoint_segment = []
-    for _, row in closest_segments.iterrows():
-        if row['dist'].sum() > max_brk_dist:
-            continue
+    n = wide['segment_idx'].values.astype(np.int64)
+    side = wide['segment_side'].values.astype(np.int64)
+    dist = wide['dist'].values
 
-        prediction_id = row['prediction_id'].iloc[0]
-        n_1 = row['segment_idx'][0]
-        n_2 = row['segment_idx'][1]
-        side_1 = row['segment_side'][0]
-        side_2 = row['segment_side'][1]
+    keep = dist.sum(axis=1) <= max_brk_dist
 
-        # remove small events that look like wild type adjacencies
-        if (n_1, n_2) in adjacencies and side_1 == 1 and side_2 == 0:
-            continue
-        if (n_2, n_1) in adjacencies and side_2 == 1 and side_1 == 0:
-            continue
+    # events indistinguishable from a wild-type junction
+    n_base = np.int64(len(segment_data.index) + 1)
+    adj_codes = np.sort(np.fromiter(
+        (_encode_pairs(a, b, n_base) for a, b in adjacencies),
+        dtype=np.int64, count=len(adjacencies)))
+    fwd = _encode_pairs(n[:, 0], n[:, 1], n_base)
+    rev = _encode_pairs(n[:, 1], n[:, 0], n_base)
+    keep &= ~(np.isin(fwd, adj_codes) & (side[:, 0] == 1) & (side[:, 1] == 0))
+    keep &= ~(np.isin(rev, adj_codes) & (side[:, 1] == 1) & (side[:, 0] == 0))
 
-        # no support for loop back inversions
-        if (n_1, side_1) == (n_2, side_2):
-            continue
+    # loop-back onto one extremity is unsupported
+    keep &= ~((n[:, 0] == n[:, 1]) & (side[:, 0] == side[:, 1]))
 
-        breakpoint_segment.append((prediction_id, n_1, side_1, n_2, side_2))
-
-    return pd.DataFrame(
-        breakpoint_segment,
-        columns=['prediction_id', 'n_1', 'side_1', 'n_2', 'side_2'])
+    return pd.DataFrame({
+        'prediction_id': wide.index.values[keep],
+        'n_1': n[keep, 0],
+        'side_1': side[keep, 0],
+        'n_2': n[keep, 1],
+        'side_2': side[keep, 1],
+    })
 
 
 def convert_breakpoints_to_dict(breakpoint_segment_data):
-    breakpoints = dict()
-    for idx in breakpoint_segment_data.index:
-        prediction_id = breakpoint_segment_data.loc[idx, 'prediction_id']
-        n_1, side_1, n_2, side_2 = breakpoint_segment_data.loc[
-            idx, ['n_1', 'side_1', 'n_2', 'side_2']].values
-        breakpoints[prediction_id] = frozenset([(n_1, side_1), (n_2, side_2)])
-    return breakpoints
-
-
-def create_experiment(count_filename, breakpoint_filename, experiment_filename,
-                      max_brk_dist=2000, min_length=None):
-    """Build and pickle an Experiment from count/breakpoint TSVs
-    (experiment.py:228-241)."""
-    count_data = pd.read_csv(count_filename, sep='\t',
-                             converters={'chromosome': str})
-
-    if min_length is not None:
-        count_data = count_data[count_data['length'] > min_length]
-
-    breakpoint_data = pd.read_csv(
-        breakpoint_filename, sep='\t',
-        converters={'chromosome_1': str, 'chromosome_2': str})
-
-    experiment = Experiment(count_data, breakpoint_data, max_brk_dist=max_brk_dist)
-
-    with open(experiment_filename, 'wb') as f:
-        pickle.dump(experiment, f)
+    """{prediction_id: frozenset((n, side), (n, side))} view of the table."""
+    return {
+        pid: frozenset([(n1, s1), (n2, s2)])
+        for pid, n1, s1, n2, s2 in zip(
+            breakpoint_segment_data['prediction_id'].values,
+            breakpoint_segment_data['n_1'].values,
+            breakpoint_segment_data['side_1'].values,
+            breakpoint_segment_data['n_2'].values,
+            breakpoint_segment_data['side_2'].values)
+    }
 
 
 class Experiment(object):
-    """Container binding a count table and breakpoint predictions
-    (experiment.py:244-320)."""
+    """Binds a read-count table to resolved breakpoint predictions.
+
+    Parity: reference analysis/experiment.py:244-320.
+    """
+
+    _BREAKPOINT_COLUMNS = [
+        'prediction_id',
+        'chromosome_1', 'strand_1', 'position_1',
+        'chromosome_2', 'strand_2', 'position_2',
+    ]
 
     def __init__(self, count_data, breakpoint_data=None, max_brk_dist=2000,
                  max_seg_gap=int(3e6)):
-        self.count_data = count_data
+        if breakpoint_data is None:
+            breakpoint_data = pd.DataFrame(columns=self._BREAKPOINT_COLUMNS)
+        breakpoint_data = breakpoint_data[self._BREAKPOINT_COLUMNS]
 
-        breakpoint_cols = [
-            'prediction_id',
-            'chromosome_1', 'strand_1', 'position_1',
-            'chromosome_2', 'strand_2', 'position_2',
-        ]
+        # only predictions joining modelled chromosomes are resolvable
+        modelled = set(count_data['chromosome'].unique())
+        on_modelled = (
+            breakpoint_data['chromosome_1'].isin(modelled)
+            & breakpoint_data['chromosome_2'].isin(modelled))
+        self.breakpoint_data = breakpoint_data[on_modelled]
 
-        if breakpoint_data is not None:
-            self.breakpoint_data = breakpoint_data[breakpoint_cols]
-        else:
-            self.breakpoint_data = pd.DataFrame(columns=breakpoint_cols)
-
-        chromosomes = self.count_data['chromosome'].unique()
-
-        self.breakpoint_data = self.breakpoint_data[(
-            (self.breakpoint_data['chromosome_1'].isin(chromosomes)) &
-            (self.breakpoint_data['chromosome_2'].isin(chromosomes))
-        )]
-
-        self.count_data = self.count_data.reset_index(drop=True).reset_index()
+        self.count_data = count_data.reset_index(drop=True).reset_index()
 
         self.adjacencies = get_wild_type_adjacencies(self.count_data, max_seg_gap)
 
         self.breakpoint_segment_data = create_breakpoint_segment_table(
             self.count_data, self.breakpoint_data, self.adjacencies,
-            max_brk_dist=max_brk_dist)
-        self.breakpoint_segment_data = self.breakpoint_segment_data.merge(
-            self.breakpoint_data, on='prediction_id')
+            max_brk_dist=max_brk_dist).merge(
+                self.breakpoint_data, on='prediction_id')
 
     @property
     def segment_chromosome_id(self):
@@ -250,7 +246,8 @@ class Experiment(object):
 
     @property
     def x(self):
-        return self.count_data[['major_readcount', 'minor_readcount', 'readcount']].values
+        return self.count_data[
+            ['major_readcount', 'minor_readcount', 'readcount']].values
 
     @property
     def l(self):
@@ -262,82 +259,106 @@ class Experiment(object):
 
     @property
     def chains(self):
-        chain_start = [0]
-        chain_end = [len(self.count_data.index)]
-        for idx in range(len(self.count_data.index) - 1):
-            if (idx, idx + 1) not in self.adjacencies:
-                chain_end.append(idx + 1)
-                chain_start.append(idx + 1)
-        return zip(sorted(chain_start), sorted(chain_end))
+        """(start, end) half-open runs of consecutively adjacent segments."""
+        n = len(self.count_data.index)
+        cut_after = [idx + 1 for idx in range(n - 1)
+                     if (idx, idx + 1) not in self.adjacencies]
+        bounds = [0] + cut_after + [n]
+        return zip(bounds[:-1], bounds[1:])
 
+
+def create_experiment(count_filename, breakpoint_filename, experiment_filename,
+                      max_brk_dist=2000, min_length=None):
+    """Read count/breakpoint TSVs, build an Experiment, pickle it
+    (parity: reference analysis/experiment.py:228-241)."""
+    count_data = pd.read_csv(
+        count_filename, sep='\t', converters={'chromosome': str})
+    if min_length is not None:
+        count_data = count_data[count_data['length'] > min_length]
+
+    breakpoint_data = pd.read_csv(
+        breakpoint_filename, sep='\t',
+        converters={'chromosome_1': str, 'chromosome_2': str})
+
+    experiment = Experiment(
+        count_data, breakpoint_data, max_brk_dist=max_brk_dist)
+
+    with open(experiment_filename, 'wb') as f:
+        pickle.dump(experiment, f)
+
+
+# ---------------------------------------------------------------------------
+# output tables
+# ---------------------------------------------------------------------------
 
 def create_segment_table(experiment):
-    """Per-segment observation table (experiment.py:323-351)."""
-    data = pd.DataFrame({
+    """Per-segment observation table with empirical depths
+    (parity: reference analysis/experiment.py:323-351)."""
+    x = experiment.x
+    l = experiment.l
+    with np.errstate(invalid='ignore', divide='ignore'):
+        allele_ratio = np.nan_to_num(x[:, 1] / (x[:, 0] + x[:, 1]))
+
+    table = pd.DataFrame({
         'chromosome': experiment.segment_chromosome_id,
         'start': experiment.segment_start,
         'end': experiment.segment_end,
-        'length': experiment.l,
-        'major_readcount': experiment.x[:, 0],
-        'minor_readcount': experiment.x[:, 1],
-        'readcount': experiment.x[:, 2],
+        'length': l,
+        'major_readcount': x[:, 0],
+        'minor_readcount': x[:, 1],
+        'readcount': x[:, 2],
+        'allele_ratio': allele_ratio,
+        'major_depth': x[:, 2] * (1. - allele_ratio) / l,
+        'minor_depth': x[:, 2] * allele_ratio / l,
+        'total_depth': x[:, 2] / l,
     })
+    # both the analysis Experiment and the simulation Experiment flow
+    # through here; only some carry the phasing indicator
     try:
-        data['major_is_allele_a'] = experiment.segment_major_is_allele_a
-    except KeyError:
+        table['major_is_allele_a'] = experiment.segment_major_is_allele_a
+    except (AttributeError, KeyError):
         pass
-
-    data['allele_ratio'] = (
-        data['minor_readcount'] / (data['major_readcount'] + data['minor_readcount']))
-    data['allele_ratio'] = data['allele_ratio'].fillna(0)
-
-    data['major_depth'] = data['readcount'] * (1. - data['allele_ratio']) / data['length']
-    data['minor_depth'] = data['readcount'] * data['allele_ratio'] / data['length']
-    data['total_depth'] = data['readcount'] / data['length']
-
-    return data
+    return table
 
 
 def create_cn_table(experiment, cn, h, phi=None):
-    """Copy-number results table (experiment.py:354-394)."""
-    data = create_segment_table(experiment)
+    """Inferred copy-number results table: per-clone calls, raw (depth-
+    implied) copy numbers, and expected depths/counts under the model
+    (parity: reference analysis/experiment.py:354-394)."""
+    table = create_segment_table(experiment)
 
-    for m in range(0, cn.shape[1]):
-        data['major_{0}'.format(m)] = cn[:, m, 0]
-        data['minor_{0}'.format(m)] = cn[:, m, 1]
+    M = cn.shape[1]
+    for m in range(M):
+        table['major_{}'.format(m)] = cn[:, m, 0]
+        table['minor_{}'.format(m)] = cn[:, m, 1]
 
-    data['major_raw'] = (data['major_depth'] - data['major_0'] * h[0]) / h[1:].sum()
-    data['minor_raw'] = (data['minor_depth'] - data['minor_0'] * h[0]) / h[1:].sum()
+    h_tumour = h[1:].sum()
+    for allele, name in ((0, 'major'), (1, 'minor')):
+        depth_e = cn[:, :, allele] @ h
+        table[name + '_raw'] = (
+            table[name + '_depth'] - cn[:, 0, allele] * h[0]) / h_tumour
+        table[name + '_depth_e'] = depth_e
+        table[name + '_e'] = depth_e * experiment.l
+        table[name + '_raw_e'] = (depth_e - cn[:, 0, allele] * h[0]) / h_tumour
 
-    data['major_depth_e'] = (cn[:, :, 0] * h[np.newaxis, :]).sum(axis=-1)
-    data['minor_depth_e'] = (cn[:, :, 1] * h[np.newaxis, :]).sum(axis=-1)
-    data['total_depth_e'] = (cn.sum(axis=-1) * h[np.newaxis, :]).sum(axis=-1)
+    table['total_depth_e'] = cn.sum(axis=-1) @ h
+    table['total_e'] = table['total_depth_e'] * experiment.l
 
-    data['major_e'] = data['major_depth_e'] * experiment.l
-    data['minor_e'] = data['minor_depth_e'] * experiment.l
-    data['total_e'] = data['total_depth_e'] * experiment.l
+    if M > 2:
+        table['major_diff'] = np.abs(table['major_1'] - table['major_2'])
+        table['minor_diff'] = np.abs(table['minor_1'] - table['minor_2'])
 
-    data['major_raw_e'] = (data['major_depth_e'] - data['major_0'] * h[0]) / h[1:].sum()
-    data['minor_raw_e'] = (data['minor_depth_e'] - data['minor_0'] * h[0]) / h[1:].sum()
-
-    if 'major_2' in data:
-        data['major_diff'] = np.absolute(data['major_1'] - data['major_2'])
-        data['minor_diff'] = np.absolute(data['minor_1'] - data['minor_2'])
-
-    return data
+    return table
 
 
 def create_brk_cn_table(brk_cn, breakpoint_segment_data):
-    """Breakpoint copy-number results table (experiment.py:397-422)."""
+    """Breakpoint copy-number results joined back onto prediction info
+    (parity: reference analysis/experiment.py:397-422)."""
     if len(brk_cn) == 0:
         return pd.DataFrame(columns=['prediction_id'])
 
-    brk_cn_table = pd.DataFrame(list(brk_cn.values()), index=list(brk_cn.keys()))
-    brk_cn_table.columns = ['cn_{}'.format(m) for m in brk_cn_table.columns]
-    brk_cn_table.index.name = 'prediction_id'
-    brk_cn_table = brk_cn_table.reset_index()
-
-    brk_cn_table = brk_cn_table.merge(
+    table = pd.DataFrame.from_dict(brk_cn, orient='index')
+    table.columns = ['cn_{}'.format(m) for m in table.columns]
+    table.index.name = 'prediction_id'
+    return table.reset_index().merge(
         breakpoint_segment_data, on='prediction_id').fillna(0.)
-
-    return brk_cn_table

@@ -1,15 +1,19 @@
 """Fit pipeline: restart enumeration, per-restart fits, solution collation.
 
-Mirrors /root/reference/remixt/analysis/pipeline.py:12-293 — the restart
-grid (minor-depth modes × tumour mixture fractions × divergence weights,
-ploidy-filtered with a common max depth), the per-restart fit driver, and
-collation into the reference's results-HDF5 schema (``stats``,
-``solutions/solution_{i}/{cn,brk_cn,h,mix}``) — with restarts fit as a
-device-parallel axis instead of separate 32 GB cluster jobs.
+Capability parity with the reference fit pipeline
+(/root/reference/remixt/analysis/pipeline.py:12-293): the restart grid
+(minor-depth modes x tumour mixture fractions, ploidy-filtered with a
+common max depth, crossed with divergence weights), the per-restart fit
+driver, and collation into the reference's results-HDF5 schema
+(``stats``, ``solutions/solution_{i}/{cn,brk_cn,h,mix}``).
+
+Restarts here are cheap traced parameters over one compiled engine
+(``fit_many``) rather than the reference's one-32GB-cluster-job-per-
+restart fan-out; the grid itself is assembled as a vectorized DataFrame
+cross-product.
 """
 
 import pickle
-import itertools
 
 import numpy as np
 import pandas as pd
@@ -21,105 +25,113 @@ from remixt_tpu.io.hdf5 import HDFStore
 from remixt_tpu.models.fit import BreakpointModel, decode_breakpoints_naive
 
 
-def init(init_results_filename, experiment_filename, config):
-    """Enumerate restart initializations (analysis/pipeline.py:12-109).
+def _load_pickle(filename):
+    with open(filename, 'rb') as f:
+        return pickle.load(f)
 
-    Returns dict of init_id -> params dict (mode_idx, h_normal, h_tumour,
-    mix_frac, divergence_weight, max_depth).
+
+def enumerate_restarts(experiment, config):
+    """Build the restart grid as a DataFrame.
+
+    One row per (minor-depth mode, tumour mix fraction, divergence weight)
+    surviving the ploidy window, all sharing the smallest per-mode maximum
+    modellable depth so restart objectives stay comparable.
+
+    Returns (grid, read_depth_table, minor_modes).
+    Parity: reference analysis/pipeline.py:12-109.
     """
-    min_ploidy = remixt_tpu.config.get_param(config, 'min_ploidy')
-    max_ploidy = remixt_tpu.config.get_param(config, 'max_ploidy')
-    h_normal = remixt_tpu.config.get_param(config, 'h_normal')
-    h_tumour = remixt_tpu.config.get_param(config, 'h_tumour')
-    tumour_mix_fractions = remixt_tpu.config.get_param(config, 'tumour_mix_fractions')
-    divergence_weights = remixt_tpu.config.get_param(config, 'divergence_weights')
-    max_copy_number = remixt_tpu.config.get_param(config, 'max_copy_number')
-    random_seed = config.get('random_seed', 1234)
-
-    with open(experiment_filename, 'rb') as f:
-        experiment = pickle.load(f)
-
-    np.random.seed(random_seed)
+    get = lambda name: remixt_tpu.config.get_param(config, name)
+    min_ploidy, max_ploidy = get('min_ploidy'), get('max_ploidy')
+    max_copy_number = get('max_copy_number')
 
     read_depth = remixt_tpu.analysis.readdepth.calculate_depth(experiment)
     minor_modes = remixt_tpu.analysis.readdepth.calculate_minor_modes(read_depth)
-    init_h_mono = remixt_tpu.analysis.readdepth.calculate_candidate_h_monoclonal(
-        minor_modes, h_normal=h_normal, h_tumour=h_tumour)
+    h_candidates = remixt_tpu.analysis.readdepth.calculate_candidate_h_monoclonal(
+        minor_modes, h_normal=get('h_normal'), h_tumour=get('h_tumour'))
 
-    init_h_params = []
-    ploidy_estimates = []
-    max_depths = []
-    for mode_idx, h_mono in enumerate(init_h_mono):
-        estimated_ploidy = remixt_tpu.analysis.readdepth.estimate_ploidy(h_mono, experiment)
-        assert not np.isinf(estimated_ploidy) and not np.isnan(estimated_ploidy)
+    modes = pd.DataFrame(
+        [(idx, h[0], h[1]) for idx, h in enumerate(h_candidates)],
+        columns=['mode_idx', 'h_normal', 'h_tumour'])
+    modes['ploidy_estimate'] = [
+        remixt_tpu.analysis.readdepth.estimate_ploidy(h, experiment)
+        for h in h_candidates]
+    if not np.isfinite(modes['ploidy_estimate']).all():
+        raise ValueError('non-finite ploidy estimate')
+    modes['max_depth'] = (
+        2. * modes['h_normal']
+        + (max_copy_number + 0.25) * modes['h_tumour'])
 
-        max_depth = 2. * h_mono[0] + (max_copy_number + 0.25) * h_mono[1]
+    # distance to the allowed ploidy window; keep in-window modes, falling
+    # back to the nearest modes when the window is empty
+    distance = pd.Series(0., index=modes.index)
+    if min_ploidy is not None:
+        distance = np.maximum(
+            distance, (min_ploidy - modes['ploidy_estimate']).clip(lower=0.))
+    if max_ploidy is not None:
+        distance = np.maximum(
+            distance, (modes['ploidy_estimate'] - max_ploidy).clip(lower=0.))
+    in_window = distance == 0.
+    modes = modes[in_window if in_window.any() else distance == distance.min()]
 
-        for mix_frac in tumour_mix_fractions:
-            init_h_params.append({
-                'mode_idx': mode_idx,
-                'h_normal': h_mono[0],
-                'h_tumour': h_mono[1],
-                'mix_frac': mix_frac,
-            })
-            ploidy_estimates.append(estimated_ploidy)
-            max_depths.append(max_depth)
+    grid = (
+        modes
+        .merge(pd.DataFrame({'mix_frac': get('tumour_mix_fractions')}),
+               how='cross')
+        .merge(pd.DataFrame({'divergence_weight': get('divergence_weights')}),
+               how='cross')
+    )
+    grid['max_depth'] = modes['max_depth'].min()
 
-    # ploidy filter, falling back to closest candidate when empty
-    def ploidy_filter_dist(ploidy):
-        if min_ploidy is not None and ploidy < min_ploidy:
-            return min_ploidy - ploidy
-        if max_ploidy is not None and ploidy > max_ploidy:
-            return ploidy - max_ploidy
-        return 0.
+    return grid, read_depth, minor_modes
 
-    is_ploidy_filtered = [ploidy_filter_dist(a) == 0. for a in ploidy_estimates]
-    if not any(is_ploidy_filtered):
-        ploidy_dists = [ploidy_filter_dist(a) for a in ploidy_estimates]
-        is_ploidy_filtered = [a == min(ploidy_dists) for a in ploidy_dists]
 
-    init_h_params = [a for i, a in enumerate(init_h_params) if is_ploidy_filtered[i]]
-    max_depths = [a for i, a in enumerate(max_depths) if is_ploidy_filtered[i]]
-
-    # common max depth so objectives are comparable across inits
-    max_depth = min(max_depths)
-
+def _check_depth_coverage(experiment, max_depth, min_coverage=0.75):
+    """Refuse configurations where too much of the genome exceeds the
+    modellable depth (parity: reference analysis/pipeline.py:85-94)."""
     depth = experiment.x[:, 2] / experiment.l
-    proportion_below_max_depth = (
-        np.sum((depth <= max_depth) * experiment.l) / np.sum(experiment.l))
-    if proportion_below_max_depth < 0.75:
+    covered = (
+        ((depth <= max_depth) * experiment.l).sum() / experiment.l.sum())
+    if covered < min_coverage:
         raise ValueError(
             'Unable to model {} of the genome, consider reducing max ploidy '
-            'or increasing max copy number'.format(1. - proportion_below_max_depth))
+            'or increasing max copy number'.format(1. - covered))
 
-    init_params = []
-    divergence_weight_params = [{'divergence_weight': w} for w in divergence_weights]
-    for h_p, w_p in itertools.product(init_h_params, divergence_weight_params):
-        params = h_p.copy()
-        params.update(w_p)
-        params['max_depth'] = max_depth
-        init_params.append(params)
+
+def init(init_results_filename, experiment_filename, config):
+    """Enumerate restart initializations; persist depth diagnostics.
+
+    Returns {init_id: params dict} with keys mode_idx, h_normal, h_tumour,
+    mix_frac, divergence_weight, max_depth.
+    """
+    np.random.seed(config.get('random_seed', 1234))
+    experiment = _load_pickle(experiment_filename)
+
+    grid, read_depth, minor_modes = enumerate_restarts(experiment, config)
+    _check_depth_coverage(experiment, grid['max_depth'].iloc[0])
 
     with HDFStore(init_results_filename, 'w') as store:
         store['read_depth'] = read_depth
-        store['minor_modes'] = pd.Series(minor_modes, index=range(len(minor_modes)))
+        store['minor_modes'] = pd.Series(
+            minor_modes, index=range(len(minor_modes)))
 
-    return dict(enumerate(init_params))
+    columns = ['mode_idx', 'h_normal', 'h_tumour', 'mix_frac',
+               'divergence_weight', 'max_depth']
+    return {
+        init_id: dict(zip(columns, values))
+        for init_id, values in enumerate(grid[columns].itertuples(index=False))
+    }
 
 
 def fit_task(results_filename, experiment_filename, init_params, config):
-    """Single-restart fit job (analysis/pipeline.py:112-124)."""
-    with open(experiment_filename, 'rb') as f:
-        experiment = pickle.load(f)
-
+    """Single-restart fit job (parity: reference analysis/pipeline.py:112-124)."""
+    experiment = _load_pickle(experiment_filename)
     fit_results = fit(experiment, init_params, config)
-
     with open(results_filename, 'wb') as f:
         pickle.dump(fit_results, f)
 
 
 def fit(experiment, init_params, config):
-    """Fit one restart (analysis/pipeline.py:127-228)."""
+    """Fit one restart (parity: reference analysis/pipeline.py:127-228)."""
     model = build_model(experiment, init_params, config)
     return fit_with_model(model, experiment, init_params, config)
 
@@ -127,11 +139,10 @@ def fit(experiment, init_params, config):
 def fit_many(experiment, init_params_dict, config):
     """Fit every restart sharing one model (state space, compiled engine).
 
-    The restart grid shares a common max_depth by construction
-    (analysis/pipeline.py:85-88), so only the divergence weight and h
-    initialization vary — both traced parameters. This replaces the
-    reference's one-cluster-job-per-restart fan-out with a single process
-    reusing compiled kernels across the grid.
+    The restart grid shares a common max_depth by construction, so only
+    the divergence weight and h initialization vary — both traced
+    parameters.  This replaces the reference's one-cluster-job-per-restart
+    fan-out with a single process reusing compiled kernels across the grid.
 
     Returns {init_id: fit_results}.
     """
@@ -150,27 +161,16 @@ def fit_many(experiment, init_params_dict, config):
 
 def build_model(experiment, init_params, config):
     """Construct the BreakpointModel for a restart's configuration."""
-    divergence_weight = init_params['divergence_weight']
-    max_depth = init_params['max_depth']
-
     import jax.numpy as jnp
 
     get = lambda name: remixt_tpu.config.get_param(config, name)
     dtype = {'float32': jnp.float32, 'float64': jnp.float64}[get('engine_dtype')]
-    normal_contamination = get('normal_contamination')
-    max_copy_number = get('max_copy_number')
-    min_segment_length = get('likelihood_min_segment_length')
-    min_proportion_genotyped = get('likelihood_min_proportion_genotyped')
-    num_em_iter = get('num_em_iter')
-    num_update_iter = get('num_update_iter')
-    disable_breakpoints = get('disable_breakpoints')
-    is_female = get('is_female')
-    do_h_update = get('do_h_update')
 
-    normal_copies = np.array([[1, 1]] * experiment.l.shape[0])
-    if not is_female:
-        normal_copies[experiment.segment_chromosome_id == 'X', :] = np.array([1, 0])
-        if np.any(experiment.x[experiment.segment_chromosome_id == 'X', 0:2] > 0):
+    normal_copies = np.ones((experiment.l.shape[0], 2), dtype=int)
+    if not get('is_female'):
+        on_x = experiment.segment_chromosome_id == 'X'
+        normal_copies[on_x] = [1, 0]
+        if np.any(experiment.x[on_x, 0:2] > 0):
             raise Exception('inconsistent allele read counts for chromosome X')
 
     model = BreakpointModel(
@@ -178,23 +178,35 @@ def build_model(experiment, init_params, config):
         experiment.l,
         experiment.adjacencies,
         experiment.breakpoints,
-        max_copy_number=max_copy_number,
-        normal_contamination=normal_contamination,
-        divergence_weight=divergence_weight,
-        min_segment_length=min_segment_length,
-        min_proportion_genotyped=min_proportion_genotyped,
-        max_depth=max_depth,
+        max_copy_number=get('max_copy_number'),
+        normal_contamination=get('normal_contamination'),
+        divergence_weight=init_params['divergence_weight'],
+        min_segment_length=get('likelihood_min_segment_length'),
+        min_proportion_genotyped=get('likelihood_min_proportion_genotyped'),
+        max_depth=init_params['max_depth'],
         normal_copies=normal_copies,
-        disable_breakpoints=disable_breakpoints,
-        do_h_update=do_h_update,
+        disable_breakpoints=get('disable_breakpoints'),
+        do_h_update=get('do_h_update'),
         random_seed=config.get('random_seed', 1234),
         dtype=dtype,
+        use_pallas=get('use_pallas_fb'),
     )
-
-    model.num_em_iter = num_em_iter
-    model.num_update_iter = num_update_iter
-
+    model.num_em_iter = get('num_em_iter')
+    model.num_update_iter = get('num_update_iter')
     return model
+
+
+def _truth_breakpoint_init(experiment, h_init):
+    """Convergence-testing hook: breakpoint posteriors seeded from the
+    simulated truth, clone-swapped to match the h initialization."""
+    collection = experiment.genome_mixture.genome_collection
+    truth = collection.collapsed_breakpoint_copy_number()
+    for bp in experiment.genome_mixture.detected_breakpoints.values():
+        truth.setdefault(bp, np.zeros((experiment.genome_mixture.M,)))
+    if (experiment.h[1] < experiment.h[2]) != (h_init[1] < h_init[2]):
+        truth = {bp: np.concatenate([cn[:1], cn[1:][::-1]])
+                 for bp, cn in truth.items()}
+    return truth
 
 
 def fit_with_model(model, experiment, init_params, config):
@@ -204,127 +216,107 @@ def fit_with_model(model, experiment, init_params, config):
         init_params['h_tumour'] * init_params['mix_frac'],
         init_params['h_tumour'] * (1. - init_params['mix_frac']),
     ])
-    disable_breakpoints = remixt_tpu.config.get_param(config, 'disable_breakpoints')
 
-    # convergence-testing hook: initialize breakpoints from simulated truth
-    model.breakpoint_init = None
-    if config.get('optimal_initialization', False):
-        breakpoint_init = (
-            experiment.genome_mixture.genome_collection.collapsed_breakpoint_copy_number())
-        for bp in experiment.genome_mixture.detected_breakpoints.values():
-            if bp not in breakpoint_init:
-                breakpoint_init[bp] = np.zeros((experiment.genome_mixture.M,))
-        swap = (experiment.h[1] < experiment.h[2]) != (h_init[1] < h_init[2])
-        if swap:
-            for bp, cn in breakpoint_init.items():
-                cn = cn.copy()
-                cn[1:] = cn[1:][::-1]
-                breakpoint_init[bp] = cn
-        model.breakpoint_init = breakpoint_init
+    model.breakpoint_init = (
+        _truth_breakpoint_init(experiment, h_init)
+        if config.get('optimal_initialization', False) else None)
 
     model.fit(h_init)
 
-    fit_results = dict()
-
     cn, brk_cn = model.optimal_cn()
-
-    if disable_breakpoints:
+    if remixt_tpu.config.get_param(config, 'disable_breakpoints'):
         brk_cn = decode_breakpoints_naive(
             cn, experiment.adjacencies, experiment.breakpoints)
 
-    fit_results['h'] = model.h
-    fit_results['cn'] = cn
-    fit_results['brk_cn'] = brk_cn
-    fit_results['p_outlier_total'] = model.p_outlier_total
-    fit_results['p_outlier_allele'] = model.p_outlier_allele
-    fit_results['total_likelihood_mask'] = model.total_likelihood_mask
-    fit_results['allele_likelihood_mask'] = model.allele_likelihood_mask
+    # length-weighted composition stats over the tumour clones
+    l = experiment.l
+    tumour_cn = cn[:, 1:, :]
+    ploidy = (tumour_cn.mean(axis=1).sum(axis=1) * l).sum() / l.sum()
+    divergent = (tumour_cn.max(axis=1) != tumour_cn.min(axis=1)).sum(axis=1)
+    proportion_divergent = (divergent * l).sum() / (2. * l.sum())
 
-    fit_results['stats'] = dict()
-    fit_results['stats']['elbo'] = model.prev_elbo
-    fit_results['stats']['elbo_diff'] = model.prev_elbo_diff
-    fit_results['stats']['error_message'] = ''
-    fit_results['stats'].update(model.get_likelihood_param_values())
+    stats = dict(model.get_likelihood_param_values())
+    stats.update({
+        'elbo': model.prev_elbo,
+        'elbo_diff': model.prev_elbo_diff,
+        'error_message': '',
+        'num_clones': len(model.h),
+        'num_segments': len(experiment.x),
+        'ploidy': ploidy,
+        'proportion_divergent': proportion_divergent,
+        'mode_idx': init_params['mode_idx'],
+        'divergence_weight': init_params['divergence_weight'],
+    })
 
-    ploidy = (cn[:, 1:, :].mean(axis=1).T * experiment.l).sum() / experiment.l.sum()
-    divergent = (cn[:, 1:, :].max(axis=1) != cn[:, 1:, :].min(axis=1)) * 1.
-    proportion_divergent = (divergent.T * experiment.l).sum() / (2. * experiment.l.sum())
-
-    fit_results['stats']['num_clones'] = len(model.h)
-    fit_results['stats']['num_segments'] = len(experiment.x)
-    fit_results['stats']['ploidy'] = ploidy
-    fit_results['stats']['proportion_divergent'] = proportion_divergent
-    fit_results['stats']['mode_idx'] = init_params['mode_idx']
-    fit_results['stats']['divergence_weight'] = init_params['divergence_weight']
-
-    return fit_results
+    return {
+        'h': model.h,
+        'cn': cn,
+        'brk_cn': brk_cn,
+        'p_outlier_total': model.p_outlier_total,
+        'p_outlier_allele': model.p_outlier_allele,
+        'total_likelihood_mask': model.total_likelihood_mask,
+        'allele_likelihood_mask': model.allele_likelihood_mask,
+        'stats': stats,
+    }
 
 
 def store_fit_results(store, experiment, fit_results, key_prefix):
-    """Write one solution's tables (analysis/pipeline.py:231-250)."""
+    """Write one solution's tables (parity: reference
+    analysis/pipeline.py:231-250)."""
     h = fit_results['h']
-    cn = fit_results['cn']
-    brk_cn = fit_results['brk_cn']
 
-    cn_table = remixt_tpu.analysis.experiment.create_cn_table(experiment, cn, h)
-
+    cn_table = remixt_tpu.analysis.experiment.create_cn_table(
+        experiment, fit_results['cn'], h)
     cn_table['prob_is_outlier_total'] = fit_results['p_outlier_total'][:, 1]
     cn_table['prob_is_outlier_allele'] = fit_results['p_outlier_allele'][:, 1]
     cn_table['total_likelihood_mask'] = fit_results['total_likelihood_mask']
     cn_table['allele_likelihood_mask'] = fit_results['allele_likelihood_mask']
 
-    brk_cn_table = remixt_tpu.analysis.experiment.create_brk_cn_table(
-        brk_cn, experiment.breakpoint_segment_data)
-
-    store[key_prefix + '/h'] = pd.Series(h, index=range(len(h)))
     store[key_prefix + '/cn'] = cn_table
+    store[key_prefix + '/brk_cn'] = remixt_tpu.analysis.experiment.create_brk_cn_table(
+        fit_results['brk_cn'], experiment.breakpoint_segment_data)
+    store[key_prefix + '/h'] = pd.Series(h, index=range(len(h)))
     store[key_prefix + '/mix'] = pd.Series(h / h.sum(), index=range(len(h)))
-    store[key_prefix + '/brk_cn'] = brk_cn_table
 
 
 def store_optimal_solution(stats, store, config):
-    """Select and alias the best solution by ELBO after the divergence filter
-    (analysis/pipeline.py:253-264)."""
+    """Alias the best solution — highest ELBO among restarts passing the
+    divergence filter (parity: reference analysis/pipeline.py:253-264)."""
     max_prop_diverge = remixt_tpu.config.get_param(config, 'max_prop_diverge')
 
-    if (stats['proportion_divergent'] < max_prop_diverge).any():
-        stats = stats[stats['proportion_divergent'] < max_prop_diverge].copy()
-    stats = stats.sort_values('elbo', ascending=False)
-    solution_idx = stats.loc[stats.index[0], 'init_id']
+    candidates = stats[stats['proportion_divergent'] < max_prop_diverge]
+    if len(candidates.index) == 0:
+        candidates = stats
+    best = candidates.loc[candidates['elbo'].idxmax(), 'init_id']
 
-    key_prefix = '/solutions/solution_{}'.format(solution_idx)
-    store['/cn'] = store[key_prefix + '/cn']
-    store['/mix'] = store[key_prefix + '/mix']
-    store['/brk_cn'] = store[key_prefix + '/brk_cn']
+    for table in ('cn', 'mix', 'brk_cn'):
+        store['/' + table] = store['/solutions/solution_{}/{}'.format(best, table)]
 
 
 def collate(collate_filename, experiment_filename, init_results_filename,
             fit_results_filenames, config):
     """Merge per-restart results into the final results store
-    (analysis/pipeline.py:267-293)."""
-    stats_table = []
-    for init_id, results_filename in fit_results_filenames.items():
-        with open(results_filename, 'rb') as f:
-            results = pickle.load(f)
-        stats = dict(results['stats'])
-        stats['init_id'] = init_id
-        stats_table.append(stats)
-    stats_table = pd.DataFrame(stats_table)
+    (parity: reference analysis/pipeline.py:267-293)."""
+    all_results = {
+        init_id: _load_pickle(filename)
+        for init_id, filename in fit_results_filenames.items()}
+
+    stats_table = pd.DataFrame([
+        dict(results['stats'], init_id=init_id)
+        for init_id, results in all_results.items()])
+
+    experiment = _load_pickle(experiment_filename)
 
     with HDFStore(collate_filename, 'w') as collated:
         collated['stats'] = stats_table
 
-        with HDFStore(init_results_filename, 'r') as results:
-            for key in results.keys():
-                collated[key] = results[key]
+        with HDFStore(init_results_filename, 'r') as init_store:
+            for key in init_store.keys():
+                collated[key] = init_store[key]
 
-        with open(experiment_filename, 'rb') as f:
-            experiment = pickle.load(f)
-
-        for init_id, results_filename in fit_results_filenames.items():
-            with open(results_filename, 'rb') as f:
-                results = pickle.load(f)
-            store_fit_results(collated, experiment, results,
-                              'solutions/solution_{0}'.format(init_id))
+        for init_id, results in all_results.items():
+            store_fit_results(
+                collated, experiment, results,
+                'solutions/solution_{}'.format(init_id))
 
         store_optimal_solution(stats_table, collated, config)

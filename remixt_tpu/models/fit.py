@@ -80,6 +80,7 @@ class BreakpointModel:
         self.do_h_update = kwargs.get('do_h_update', True)
         self.dtype = kwargs.get('dtype', jnp.float32)
         self.random_seed = kwargs.get('random_seed', None)
+        self.use_pallas = kwargs.get('use_pallas', None)
 
         if self.max_depth is None:
             raise ValueError('must specify max depth')
@@ -175,10 +176,16 @@ class BreakpointModel:
             dtype=self.dtype,
         )
 
-        # the Pallas forward-backward kernel runs on TPU in float32
+        # the Pallas forward-backward kernel runs on TPU in float32;
+        # `use_pallas=None` (the default) auto-enables it there, while the
+        # config knob `use_pallas_fb` can force it off (defaults.py)
         import jax
-        spec.use_pallas = (jax.default_backend() not in ('cpu',)
-                           and self.dtype == jnp.float32)
+        pallas_capable = (jax.default_backend() not in ('cpu',)
+                          and self.dtype == jnp.float32)
+        if self.use_pallas is None:
+            spec.use_pallas = pallas_capable
+        else:
+            spec.use_pallas = bool(self.use_pallas) and pallas_capable
         return spec
 
     def _init_p_breakpoint(self):
@@ -364,22 +371,26 @@ class BreakpointModel:
         # breakpoint copy number by transition compatibility (cn_model.py:576-593)
         brk_states = np.asarray(self.spec.brk_states)
         num_brk_states = brk_states.shape[0]
-        M = cn1.shape[1]
         tp = self.transition_log_prob
 
         brk_cn = dict()
         if self.num_breakpoints > 0:
+            # vectorized over all breakend junctions: each junction n with
+            # breakpoint k contributes -tp * |d_m - orient * brk_states| per
+            # clone to that breakpoint's state score
+            at_brk = np.flatnonzero(self.breakpoint_idx[:self.N1 - 1] >= 0)
+            k_idx = self.breakpoint_idx[at_brk]                   # (J,)
+            d = (cn1[at_brk].sum(axis=2)
+                 - cn1[at_brk + 1].sum(axis=2))                   # (J, M)
+            orient = self.breakpoint_orient[at_brk]               # (J,)
+            score = -tp * np.abs(
+                d[:, None, :] - orient[:, None, None] * brk_states[None, :, :]
+            ).sum(axis=2)                                         # (J, S_b)
             log_p = np.zeros((self.num_breakpoints, num_brk_states))
-            for n in range(self.N1 - 1):
-                k = self.breakpoint_idx[n]
-                if k < 0:
-                    continue
-                for m in range(M):
-                    d = cn1[n, m].sum() - cn1[n + 1, m].sum()
-                    log_p[k] += -tp * np.abs(
-                        d - self.breakpoint_orient[n] * brk_states[:, m])
-            for k in range(self.num_breakpoints):
-                brk_cn[self.breakpoint_ids[k]] = brk_states[log_p[k].argmax()]
+            np.add.at(log_p, k_idx, score)
+            best = brk_states[log_p.argmax(axis=1)]
+            brk_cn = {self.breakpoint_ids[k]: best[k]
+                      for k in range(self.num_breakpoints)}
 
         cn = cn1[self.seg_fwd_remap]
         return cn, brk_cn

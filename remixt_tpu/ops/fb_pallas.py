@@ -175,7 +175,8 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
                 carry_ref[:, :] = jnp.where(onehot, fixed, carry_ref[:, :])
 
 
-def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse):
+def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
+                   interpret=False):
     """frame_tm: (L, Qp, Sp) time-major frame input for this direction
     (already flipped/shifted for reverse). Returns (L, Qp, Sp)."""
     L, Qp, Sp = frame_tm.shape
@@ -221,12 +222,14 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((L, Qp, Sp), jnp.float32),
+        interpret=interpret,
     )(jnp.asarray(sched_lane), jnp.asarray(sched_slot),
       frame_tm, jnp.asarray(cls_onehot), static_exp, be_exp)
 
 
 def forward_backward_chains_pallas(framelogprob, static_bank, be_bank,
-                                   chain_seg_map, chain_last, plan):
+                                   chain_seg_map, chain_last, plan,
+                                   interpret=False):
     """Drop-in replacement for fb_scan.forward_backward_chains on TPU/f32.
 
     Args:
@@ -261,13 +264,15 @@ def forward_backward_chains_pallas(framelogprob, static_bank, be_bank,
         be_exp = be_exp.at[:J, :S, :S].set(jnp.exp(be_bank).astype(jnp.float32))
 
     alphas_tm = _run_direction(
-        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False)
+        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
+        interpret=interpret)
 
     # reverse frame input: H[t] = flipped F shifted by one (H[0] unused)
     Hrev = jnp.concatenate(
         [jnp.zeros((1, Qp, Sp), dtype=jnp.float32), Ftp[::-1][:-1]], axis=0)
     betas_rev = _run_direction(
-        Hrev, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True)
+        Hrev, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
+        interpret=interpret)
     betas_tm = betas_rev[::-1]
 
     alphas_b = jnp.swapaxes(alphas_tm, 0, 1)[:Q, :, :S]   # (Q, L, S)

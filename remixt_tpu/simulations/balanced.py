@@ -1,132 +1,112 @@
-"""Minimal breakpoint copy number via min-cost perfect matching.
+"""Minimal breakpoint copy number via balanced-cycle cancellation.
 
-Mirrors /root/reference/remixt/simulations/balanced.py:5-104. The reference
-uses the external blossomv package for min-weight perfect matching; here the
-matching runs on networkx's blossom implementation (min_weight_matching),
-which suffices because the matching graph always admits a perfect matching
-through the transverse edges.
+Ground-truth minimization used by the simulation benchmark: repeatedly
+find families of *balanced alternating cycles* — closed walks alternating
+variant (breakpoint) edges and wild-type adjacency edges over breakend
+nodes — and cancel one copy of every variant edge on such a cycle, until
+no balanced family remains.  Capability parity with the reference
+minimizer (/root/reference/remixt/simulations/balanced.py:5-104), which
+depends on the external ``blossomv`` package; here the min-weight perfect
+matching runs on networkx's blossom implementation.
 
-Used only for simulation ground truth (the minimized true breakpoint copy
-number the evaluation compares against).
+The balanced family is found with the doubled-graph reduction: every
+breakend node is split into a variant-layer and a reference-layer twin
+joined by a unit-cost *transverse* edge, while variant and adjacency
+edges connect twins within their own layer at zero cost.  A minimum-cost
+perfect matching then prefers zero-cost layer edges, and the symmetric
+difference of the matched layer edges traces the balanced cycles.  A
+perfect matching always exists because every node can fall back to its
+transverse edge.
 """
 
+import numpy as np
 import networkx
 
 
-def _min_weight_perfect_matching(edges):
-    """Minimum-cost perfect matching over a dict {(u, v): cost}.
+def _matched_layer_pairs(variant_edges, reference_edges):
+    """Run the doubled-graph matching; return the symmetric difference of
+    matched same-layer edges as a set of frozenset breakend pairs."""
+    doubled = networkx.Graph()
+    node_ids = {}
 
-    Every node is guaranteed a zero-or-low-cost transverse partner by
-    construction, so a maximum-cardinality matching is perfect.
-    """
-    G = networkx.Graph()
-    for (u, v), cost in edges.items():
-        G.add_edge(u, v, weight=cost)
-    matching = networkx.min_weight_matching(G)
-    # normalize to the same edge key orientation as the input
-    selected = set()
-    for u, v in matching:
-        if (u, v) in edges:
-            selected.add((u, v))
-        else:
-            selected.add((v, u))
-    return selected
+    def twin(node, layer):
+        key = (node, layer)
+        if key not in node_ids:
+            node_ids[key] = (len(node_ids), node, layer)
+        return node_ids[key][0]
+
+    layered = (('variant', variant_edges), ('reference', reference_edges))
+    for layer, edges in layered:
+        for u, v in edges:
+            a, b = twin(u, layer), twin(v, layer)
+            if a != b:
+                doubled.add_edge(a, b, weight=0.0)
+    # transverse fallback edges, after all base nodes are known
+    for _, node, layer in list(node_ids.values()):
+        doubled.add_edge(
+            twin(node, 'variant'), twin(node, 'reference'), weight=1.0)
+
+    matching = networkx.min_weight_matching(doubled, weight='weight')
+
+    by_id = {tid: (node, layer) for tid, node, layer in node_ids.values()}
+    toggled = set()
+    for a, b in matching:
+        node_a, layer_a = by_id[a]
+        node_b, layer_b = by_id[b]
+        if node_a == node_b:
+            continue  # transverse: node not on any cycle
+        assert layer_a == layer_b
+        toggled ^= {frozenset((node_a, node_b))}
+    return toggled
 
 
 def identify_balanced_rearrangements(H):
-    """Find a set of edges of multigraph H forming balanced alternating
-    cycles, via min-cost perfect matching on a red/blue doubled graph.
+    """Compatibility wrapper over a networkx MultiGraph whose edges carry a
+    ``color`` attribute (+1 variant, -1 adjacency): returns a Graph whose
+    edges are the cancellable variant/adjacency pairs."""
+    variant, reference = [], []
+    for u, v, key in H.edges(keys=True):
+        color = H[u][v][key]['color']
+        (variant if color == 1 else reference).append((u, v))
+    result = networkx.Graph()
+    for pair in _matched_layer_pairs(variant, reference):
+        result.add_edge(*pair)
+    return result
 
-    Nodes of H are breakends; edges carry a 'color' attribute: +1 for
-    breakpoint (variant) edges, -1 for wild-type adjacency edges.
-    """
-    transverse_edge_cost = 1.
 
-    M = networkx.Graph()
-    for node in H.nodes():
-        transverse_edge = []
-        for color in (1, -1):
-            colored_node = node + (color,)
-            M.add_node(colored_node)
-            transverse_edge.append(colored_node)
-        M.add_edge(*transverse_edge, cost=transverse_edge_cost)
-
-    for edge in H.edges(keys=True):
-        edge_attr = H[edge[0]][edge[1]][edge[2]]
-        color = edge_attr['color']
-        colored_node_1 = edge[0] + (color,)
-        colored_node_2 = edge[1] + (color,)
-        M.add_edge(colored_node_1, colored_node_2, cost=0.)
-
-    M1 = networkx.convert_node_labels_to_integers(M, label_attribute='node_tuple')
-
-    edges = networkx.get_edge_attributes(M1, 'cost')
-    for edge in edges.keys():
-        if edge[0] == edge[1]:
-            raise Exception('self loop {}'.format(M1[edge[0]][edge[1]]))
-
-    min_cost_edges = _min_weight_perfect_matching(edges)
-
-    assert set(min_cost_edges).issubset(edges.keys())
-    remove_edges = set(edges.keys()).difference(min_cost_edges)
-    M2 = M1.copy()
-    M2.remove_edges_from(remove_edges)
-
-    M3 = networkx.relabel_nodes(
-        M2, mapping=networkx.get_node_attributes(M2, 'node_tuple'))
-
-    # matched non-transverse edges trace the balanced cycles
-    H1 = networkx.Graph()
-    for edge in M3.edges():
-        node_1 = edge[0][:-1]
-        node_2 = edge[1][:-1]
-        if node_1 == node_2:
-            continue
-        if H1.has_edge(node_1, node_2):
-            H1.remove_edge(node_1, node_2)
-        else:
-            H1.add_edge(node_1, node_2)
-
-    return H1
+def _allele_adjacency_edges(adjacencies):
+    """Wild-type junction edges over breakend nodes, one per allele."""
+    edges = []
+    for left_seg, right_seg in adjacencies:
+        for allele in (0, 1):
+            edges.append((
+                ((left_seg, allele), 1),
+                ((right_seg, allele), 0),
+            ))
+    return edges
 
 
 def minimize_breakpoint_copies(adjacencies, brk_cn):
-    """Iteratively cancel balanced rearrangement cycles out of the breakpoint
-    copy numbers, per clone, until none remain."""
-    min_brk_cn = dict()
-    for brk, cn in brk_cn.items():
-        min_brk_cn[brk] = cn.copy()
+    """Cancel balanced cycles out of per-clone breakpoint copy numbers
+    until a fixpoint; returns a new {breakpoint: cn_vector} dict."""
+    minimized = {bp: np.array(cn, dtype=float).copy()
+                 for bp, cn in brk_cn.items()}
+    if not minimized:
+        return minimized
 
-    num_clones = max([cn.shape[0] for cn in brk_cn.values()])
+    num_clones = max(cn.shape[0] for cn in minimized.values())
+    reference_edges = _allele_adjacency_edges(adjacencies)
 
-    while True:
-        has_changed = False
-
+    changed = True
+    while changed:
+        changed = False
         for m in range(num_clones):
-            H = networkx.MultiGraph()
-
-            for brk, cn in min_brk_cn.items():
-                if cn[m] > 0:
-                    H.add_edge(*brk, color=1)
-
-            for adj in adjacencies:
-                for allele in (0, 1):
-                    allele_adj = (((adj[0], allele), 1), ((adj[1], allele), 0))
-                    H.add_edge(*allele_adj, color=-1)
-
-            C = identify_balanced_rearrangements(H)
-
-            for edge in C.edges():
-                edge = frozenset(list(edge))
-                if edge not in min_brk_cn:
-                    adj = tuple(sorted([a[0][0] for a in edge]))
-                    assert adj in adjacencies or adj[::-1] in adjacencies
-                    continue
-                assert min_brk_cn[edge][m] > 0
-                min_brk_cn[edge][m] -= 1
-                has_changed = True
-
-        if not has_changed:
-            break
-
-    return min_brk_cn
+            variant_edges = [
+                tuple(bp) for bp, cn in minimized.items()
+                if cn[m] > 0 and len(bp) == 2]
+            for pair in _matched_layer_pairs(variant_edges, reference_edges):
+                if pair in minimized:
+                    assert minimized[pair][m] > 0
+                    minimized[pair][m] -= 1
+                    changed = True
+    return minimized

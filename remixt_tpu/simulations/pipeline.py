@@ -1,11 +1,18 @@
-"""Simulation pipeline tasks and evaluation metrics.
+"""Simulation tasks and the accuracy-evaluation suite.
 
-Mirrors /root/reference/remixt/simulations/pipeline.py:16-840 — simulation
-definition parsing, genome-mixture/experiment/read simulation tasks, the
-accuracy evaluation suite (proportion_cn_correct and friends, breakpoint
-copy-number precision/recall, mixture-fraction recovery, outlier-call
-accuracy) and evaluation merging. These metrics are the reference's
-benchmark yardstick (BASELINE.md).
+Capability parity with the reference simulation pipeline
+(/root/reference/remixt/simulations/pipeline.py:16-840): simulation
+definition parsing and expansion, genome-mixture / experiment / read
+simulation and resampling tasks, and the benchmark metrics the project is
+judged on — length-weighted segment copy-number accuracy
+(``proportion_cn_correct`` and friends), breakpoint copy-number accuracy
+against the cycle-minimized truth, mixture-fraction recovery, and
+outlier-call accuracy — plus per-store evaluation and merge tasks.
+
+Evaluation here is organized around small tidy comparison frames: truth
+and prediction are aligned once on the segment overlap index
+(`segalg.reindex_segments`) or on ``prediction_id``, and every metric is
+a length-weighted reduction over that aligned frame.
 """
 
 import collections
@@ -25,176 +32,184 @@ import remixt_tpu.simulations.haplotype
 import remixt_tpu.simulations.seqread
 
 
-def read_sim_defs(sim_defs_filename):
-    """Parse a python-syntax simulation definition file into per-simulation
-    settings dicts (pipeline.py:16-71)."""
-    sim_defs = dict()
-    with open(sim_defs_filename) as f:
-        exec(f.read(), {}, sim_defs)
+def _load_pickle(filename):
+    with open(filename, 'rb') as f:
+        return pickle.load(f)
 
-    default_settings = sim_defs['defaults']
 
-    settings_dicts = dict()
+def _dump_pickle(obj, filename):
+    with open(filename, 'wb') as f:
+        pickle.dump(obj, f)
 
-    for name, settings in sim_defs.items():
-        if not name.endswith('_settings'):
-            continue
-        name = name[:-len('_settings')]
 
-        permute = [list(zip(itertools.repeat(key), values))
-                   for key, values in settings.items()]
-        product = itertools.product(*permute)
+# ---------------------------------------------------------------------------
+# simulation definitions
+# ---------------------------------------------------------------------------
 
-        def unzip_tied_setting(key, value):
+def _expand_setting_grid(settings):
+    """Cartesian product over per-key value lists; a tuple key ties several
+    parameters to vary together."""
+    keys = list(settings.keys())
+    combos = itertools.product(*(settings[k] for k in keys))
+    for combo in combos:
+        expanded = {}
+        for key, value in zip(keys, combo):
             if isinstance(key, tuple):
                 if len(key) != len(value):
-                    raise ValueError('incompatible key/value lengths for tied values')
-                for k, v in zip(key, value):
-                    yield k, v
+                    raise ValueError(
+                        'tied setting {} needs {} values'.format(key, len(key)))
+                expanded.update(zip(key, value))
             else:
-                yield key, value
+                expanded[key] = value
+        yield expanded
 
-        def unzip_sim(sim):
-            return itertools.chain(
-                *[unzip_tied_setting(key, value) for key, value in sim])
 
-        unzipped = list([dict(unzip_sim(a)) for a in product])
+def read_sim_defs(sim_defs_filename):
+    """Parse a python-syntax simulation definition file into a dict of
+    per-instance settings (parity: reference simulations/pipeline.py:16-71).
 
-        settings_df = pd.DataFrame(unzipped)
-        assert not settings_df.isnull().any().any()
-        settings_df['name'] = name
+    Each ``<name>_settings`` dict in the file is a grid of value lists; the
+    grid expands to instances overlaid on ``defaults``, each given a
+    content-hashed ``sim_id``.
+    """
+    namespace = {}
+    with open(sim_defs_filename) as f:
+        exec(f.read(), {}, namespace)
+    defaults = namespace['defaults']
 
-        for key, value in default_settings.items():
-            if key not in settings_df:
-                settings_df[key] = [value] * len(settings_df.index)
-
-        settings_df['sim_hash'] = settings_df.apply(
-            lambda row: abs(hash(frozenset(
-                (k, str(v)) for k, v in row.to_dict().items()))), axis=1).astype(str)
-        assert not settings_df['sim_hash'].duplicated().any()
-        settings_df['sim_id'] = settings_df['name'] + '_' + settings_df['sim_hash']
-
-        for _, row in settings_df.iterrows():
-            settings_dicts[row['sim_id']] = row.to_dict()
-
-    return settings_dicts
+    instances = {}
+    for name, settings in namespace.items():
+        if not name.endswith('_settings'):
+            continue
+        base_name = name[:-len('_settings')]
+        for expanded in _expand_setting_grid(settings):
+            sim = dict(defaults)
+            sim.update(expanded)
+            sim['name'] = base_name
+            content_hash = str(abs(hash(frozenset(
+                (k, str(v)) for k, v in sim.items()))))
+            sim['sim_hash'] = content_hash
+            sim['sim_id'] = '{}_{}'.format(base_name, content_hash)
+            if sim['sim_id'] in instances:
+                raise ValueError('duplicate simulation {}'.format(sim['sim_id']))
+            instances[sim['sim_id']] = sim
+    return instances
 
 
 def create_simulations(sim_defs_filename, config, ref_data_dir):
-    """Expand a YAML simulation definition into per-instance parameter dicts
-    (pipeline.py:74-124)."""
+    """Expand a YAML simulation definition into per-instance parameter
+    dicts (parity: reference simulations/pipeline.py:74-124).
+
+    Each simulation block contributes ``num_simulations`` parameter sets
+    (scalar values broadcast; list values must match) replicated
+    ``num_replicates`` times with consecutive random seeds.
+    """
     sim_defs = yaml.safe_load(open(sim_defs_filename))
 
-    # reference chromosome lengths only needed when a simulation doesn't
-    # specify its own
-    chromosome_lengths = None
+    ref_chrom_lengths = None
     if ref_data_dir is not None:
-        chromosome_lengths = remixt_tpu.config.get_chromosome_lengths(
+        ref_chrom_lengths = remixt_tpu.config.get_chromosome_lengths(
             config, ref_data_dir)
 
-    def instance_name(sim_name, sim_idx, rep_idx):
-        return '{}_{}_{}'.format(sim_name, sim_idx, rep_idx)
+    instances = {}
+    for sim_name, block in sim_defs['simulations'].items():
+        num_sims = block['num_simulations']
+        num_reps = block['num_replicates']
 
-    simulations = dict()
-    for sim_name, sim_params in sim_defs['simulations'].items():
-        num_simulations = sim_params['num_simulations']
-        num_replicates = sim_params['num_replicates']
-        random_seed = sim_params['random_seed_start']
-
-        for sim_idx in range(num_simulations):
-            for rep_idx in range(num_replicates):
-                simulations[instance_name(sim_name, sim_idx, rep_idx)] = (
-                    sim_defs['defaults'].copy())
-                simulations[instance_name(sim_name, sim_idx, rep_idx)]['random_seed'] = random_seed
-                random_seed += 1
-
-        for sim_config_name, sim_config_value in sim_params.items():
-            if sim_config_name == 'num_simulations':
+        # broadcast every setting to one value per simulation index
+        per_sim = {}
+        for key, value in block.items():
+            if key == 'num_simulations':
                 continue
-            try:
-                len(sim_config_value)
-            except TypeError:
-                sim_config_value = [sim_config_value]
-            if len(sim_config_value) == 1:
-                sim_config_value = [sim_config_value[0]] * num_simulations
-            if len(sim_config_value) != num_simulations:
+            values = value if isinstance(value, (list, tuple)) else [value]
+            if len(values) == 1:
+                values = list(values) * num_sims
+            if len(values) != num_sims:
                 raise TypeError('sim config length mismatch for {}, {}'.format(
-                    sim_name, sim_config_name))
-            for sim_idx, value in enumerate(sim_config_value):
-                for rep_idx in range(num_replicates):
-                    simulations[instance_name(sim_name, sim_idx, rep_idx)][sim_config_name] = value
+                    sim_name, key))
+            per_sim[key] = values
 
-    for sim_params in simulations.values():
-        if 'chromosome_lengths' not in sim_params:
-            if chromosome_lengths is None:
+        seed = block['random_seed_start']
+        for sim_idx in range(num_sims):
+            for rep_idx in range(num_reps):
+                params = dict(sim_defs['defaults'])
+                params.update(
+                    {key: values[sim_idx] for key, values in per_sim.items()})
+                params['random_seed'] = seed
+                instances['{}_{}_{}'.format(sim_name, sim_idx, rep_idx)] = params
+                seed += 1
+
+    for params in instances.values():
+        if 'chromosome_lengths' not in params:
+            if ref_chrom_lengths is None:
                 raise ValueError(
                     'chromosome_lengths required in sim defs when no '
                     'ref_data_dir is provided')
-            chromosomes = sim_params.get(
+            chromosomes = params.get(
                 'chromosomes', [str(a) for a in range(1, 23)])
-            sim_params['chromosome_lengths'] = {
-                chrom: chromosome_lengths[chrom] for chrom in chromosomes}
-        if 'chromosomes' not in sim_params:
-            sim_params['chromosomes'] = list(sim_params['chromosome_lengths'].keys())
+            params['chromosome_lengths'] = {
+                c: ref_chrom_lengths[c] for c in chromosomes}
+        params.setdefault(
+            'chromosomes', list(params['chromosome_lengths'].keys()))
 
-    return simulations
+    return instances
 
 
 # ---------------------------------------------------------------------------
 # simulation tasks
 # ---------------------------------------------------------------------------
 
+def _build_samplers(params):
+    history = sim_genome.RearrangementHistorySampler(params)
+    return (
+        sim_genome.GenomeCollectionSampler(history, params),
+        sim_genome.GenomeMixtureSampler(params),
+        sim_genome.ExperimentSampler(params),
+    )
+
+
 def simulate_genome_mixture(mixture_filename, mixture_plot_filename, params):
-    """(pipeline.py:127-141)"""
-    history_sampler = sim_genome.RearrangementHistorySampler(params)
-    genomes_sampler = sim_genome.GenomeCollectionSampler(history_sampler, params)
-    mixture_sampler = sim_genome.GenomeMixtureSampler(params)
-
+    """Sample a genome collection + mixture and pickle it
+    (parity: reference simulations/pipeline.py:127-141)."""
+    collection_sampler, mixture_sampler, _ = _build_samplers(params)
     np.random.seed(params['random_seed'])
-
-    genomes = genomes_sampler.sample_genome_collection()
-    genome_mixture = mixture_sampler.sample_genome_mixture(genomes)
-
-    with open(mixture_filename, 'wb') as mixture_file:
-        pickle.dump(genome_mixture, mixture_file)
-
+    mixture = mixture_sampler.sample_genome_mixture(
+        collection_sampler.sample_genome_collection())
+    _dump_pickle(mixture, mixture_filename)
     if mixture_plot_filename is not None:
         remixt_tpu.cn_plot.plot_mixture(mixture_plot_filename, mixture_filename)
 
 
 def simulate_experiment(experiment_filename, experiment_plot_filename, params):
-    """(pipeline.py:144-160)"""
-    history_sampler = sim_genome.RearrangementHistorySampler(params)
-    genomes_sampler = sim_genome.GenomeCollectionSampler(history_sampler, params)
-    mixture_sampler = sim_genome.GenomeMixtureSampler(params)
-    experiment_sampler = sim_genome.ExperimentSampler(params)
-
+    """Sample a full count-level experiment and pickle it
+    (parity: reference simulations/pipeline.py:144-160)."""
+    collection_sampler, mixture_sampler, experiment_sampler = (
+        _build_samplers(params))
     np.random.seed(params['random_seed'])
-
-    genomes = genomes_sampler.sample_genome_collection()
-    genome_mixture = mixture_sampler.sample_genome_mixture(genomes)
-    experiment = experiment_sampler.sample_experiment(genome_mixture)
-
-    with open(experiment_filename, 'wb') as experiment_file:
-        pickle.dump(experiment, experiment_file)
-
+    mixture = mixture_sampler.sample_genome_mixture(
+        collection_sampler.sample_genome_collection())
+    experiment = experiment_sampler.sample_experiment(mixture)
+    _dump_pickle(experiment, experiment_filename)
     if experiment_plot_filename is not None:
-        remixt_tpu.cn_plot.plot_experiment(experiment_plot_filename, experiment_filename)
+        remixt_tpu.cn_plot.plot_experiment(
+            experiment_plot_filename, experiment_filename)
 
 
-def simulate_germline_alleles(germline_alleles_filename, params, config, ref_data_dir):
-    """(pipeline.py:163-170)"""
+def simulate_germline_alleles(germline_alleles_filename, params, config,
+                              ref_data_dir):
+    """Sample germline haplotypes per chromosome into an HDF5 store
+    (parity: reference simulations/pipeline.py:163-170)."""
     np.random.seed(params['random_seed'])
-
     import h5py
     with h5py.File(germline_alleles_filename, 'w') as store:
         for chromosome in params['chromosomes']:
-            alleles_table = remixt_tpu.simulations.haplotype.create_sim_alleles(
+            table = remixt_tpu.simulations.haplotype.create_sim_alleles(
                 chromosome, config, ref_data_dir)
             group = store.create_group('chromosome_{}'.format(chromosome))
-            for col in alleles_table.columns:
-                group.create_dataset(col, data=alleles_table[col].values,
-                                     compression='gzip', compression_opts=4)
+            for col in table.columns:
+                group.create_dataset(
+                    col, data=table[col].values,
+                    compression='gzip', compression_opts=4)
 
 
 def load_germline_alleles(germline_alleles_filename, chromosome):
@@ -216,140 +231,119 @@ class _GermlineAllelesAccessor(object):
         return load_germline_alleles(self.filename, chromosome)
 
 
+def _read_sim_inputs(mixture_filename, germline_alleles_filename):
+    mixture = _load_pickle(mixture_filename)
+    alleles = _GermlineAllelesAccessor(germline_alleles_filename)
+    return mixture, alleles
+
+
 def simulate_normal_data(read_data_filename, mixture_filename,
                          germline_alleles_filename, params):
-    """(pipeline.py:173-187)"""
-    with open(mixture_filename, 'rb') as mixture_file:
-        genome_mixture = pickle.load(mixture_file)
-
-    germline_genome = genome_mixture.genome_collection.genomes[0]
-    germline_alleles = _GermlineAllelesAccessor(germline_alleles_filename)
-
+    """(parity: reference simulations/pipeline.py:173-187)"""
+    mixture, alleles = _read_sim_inputs(
+        mixture_filename, germline_alleles_filename)
     np.random.seed(params['random_seed'])
-
     remixt_tpu.simulations.seqread.simulate_mixture_read_data(
-        read_data_filename, [germline_genome], [params['h_total']],
-        germline_alleles, params)
+        read_data_filename, [mixture.genome_collection.genomes[0]],
+        [params['h_total']], alleles, params)
 
 
 def resample_normal_data(read_data_filename, source_filename, mixture_filename,
                          germline_alleles_filename, params):
-    """(pipeline.py:190-206)"""
-    with open(mixture_filename, 'rb') as mixture_file:
-        genome_mixture = pickle.load(mixture_file)
-
-    germline_genome = genome_mixture.genome_collection.genomes[0]
-    germline_alleles = _GermlineAllelesAccessor(germline_alleles_filename)
-
+    """(parity: reference simulations/pipeline.py:190-206)"""
+    mixture, alleles = _read_sim_inputs(
+        mixture_filename, germline_alleles_filename)
     np.random.seed(params['random_seed'])
-
     remixt_tpu.simulations.seqread.resample_mixture_read_data(
-        read_data_filename, source_filename, [germline_genome],
-        [params['h_total']], germline_alleles, params)
+        read_data_filename, source_filename,
+        [mixture.genome_collection.genomes[0]],
+        [params['h_total']], alleles, params)
 
 
 def simulate_tumour_data(read_data_filename, mixture_filename,
                          germline_alleles_filename, params):
-    """(pipeline.py:209-224)"""
-    with open(mixture_filename, 'rb') as mixture_file:
-        gm = pickle.load(mixture_file)
-
-    germline_alleles = _GermlineAllelesAccessor(germline_alleles_filename)
-
+    """(parity: reference simulations/pipeline.py:209-224)"""
+    mixture, alleles = _read_sim_inputs(
+        mixture_filename, germline_alleles_filename)
     np.random.seed(params['random_seed'])
-
     remixt_tpu.simulations.seqread.simulate_mixture_read_data(
-        read_data_filename, gm.genome_collection.genomes,
-        gm.frac * params['h_total'], germline_alleles, params)
+        read_data_filename, mixture.genome_collection.genomes,
+        mixture.frac * params['h_total'], alleles, params)
 
 
 def resample_tumour_data(read_data_filename, source_filename, mixture_filename,
                          germline_alleles_filename, params):
-    """(pipeline.py:227-242)"""
-    with open(mixture_filename, 'rb') as mixture_file:
-        gm = pickle.load(mixture_file)
-
-    germline_alleles = _GermlineAllelesAccessor(germline_alleles_filename)
-
+    """(parity: reference simulations/pipeline.py:227-242)"""
+    mixture, alleles = _read_sim_inputs(
+        mixture_filename, germline_alleles_filename)
     np.random.seed(params['random_seed'])
-
     remixt_tpu.simulations.seqread.resample_mixture_read_data(
-        read_data_filename, source_filename, gm.genome_collection.genomes,
-        gm.frac * params['h_total'], germline_alleles, params)
+        read_data_filename, source_filename,
+        mixture.genome_collection.genomes,
+        mixture.frac * params['h_total'], alleles, params)
 
 
 def tabulate_experiment(exp_table_filename, sim_id, experiment_filename):
-    """(pipeline.py:246-270)"""
-    with open(experiment_filename, 'rb') as experiment_file:
-        exp = pickle.load(experiment_file)
+    """One-row composition summary of a simulated experiment
+    (parity: reference simulations/pipeline.py:246-270)."""
+    experiment = _load_pickle(experiment_filename)
+    collection = experiment.genome_mixture.genome_collection
 
-    exp_data = dict()
-    exp_data['sim_id'] = sim_id
-    exp_data['proportion_divergent'] = (
-        exp.genome_mixture.genome_collection.length_divergent()
-        / float(np.sum(exp.genome_mixture.l)))
+    row = {
+        'sim_id': sim_id,
+        'proportion_divergent': (
+            collection.length_divergent()
+            / float(np.sum(experiment.genome_mixture.l))),
+    }
+    for idx, genome in enumerate(collection.genomes):
+        row['proportion_loh_{}'.format(idx)] = genome.proportion_loh()
+        row['proportion_hdel_{}'.format(idx)] = genome.proportion_hdel()
+        row['proportion_hlamp_{}'.format(idx)] = genome.proportion_hlamp()
 
-    gc = exp.genome_mixture.genome_collection
-    for idx, genome in enumerate(gc.genomes):
-        exp_data['proportion_loh_{0}'.format(idx)] = genome.proportion_loh()
-        exp_data['proportion_hdel_{0}'.format(idx)] = genome.proportion_hdel()
-        exp_data['proportion_hlamp_{0}'.format(idx)] = genome.proportion_hlamp()
-
-    pd.DataFrame([exp_data]).to_csv(exp_table_filename, sep='\t', index=False)
+    pd.DataFrame([row]).to_csv(exp_table_filename, sep='\t', index=False)
 
 
 def merge_tables(output_filename, input_filenames):
-    """(pipeline.py:273-283)"""
-    output_table = [pd.read_csv(f, sep='\t', dtype=str)
-                    for f in input_filenames.values()]
-    pd.concat(output_table, ignore_index=True).to_csv(
-        output_filename, sep='\t', index=False)
+    """(parity: reference simulations/pipeline.py:273-283)"""
+    merged = pd.concat(
+        [pd.read_csv(f, sep='\t', dtype=str) for f in input_filenames.values()],
+        ignore_index=True)
+    merged.to_csv(output_filename, sep='\t', index=False)
 
 
 def write_segments(segment_filename, genomes_filename):
-    """(pipeline.py:299-311)"""
-    with open(genomes_filename, 'rb') as genomes_file:
-        gc = pickle.load(genomes_file)
-
+    """(parity: reference simulations/pipeline.py:299-311)"""
+    collection = _load_pickle(genomes_filename)
     pd.DataFrame({
-        'chromosome': gc.segment_chromosome_id,
-        'start': gc.segment_start,
-        'end': gc.segment_end,
+        'chromosome': collection.segment_chromosome_id,
+        'start': collection.segment_start,
+        'end': collection.segment_end,
     }).to_csv(segment_filename, sep='\t', index=False, header=True)
 
 
 def write_perfect_segments(segment_filename, genomes_filename):
-    """Segments merged at true copy-number changepoints (pipeline.py:314-337)."""
-    with open(genomes_filename, 'rb') as genomes_file:
-        gc = pickle.load(genomes_file)
+    """Segments merged between true copy-number changepoints
+    (parity: reference simulations/pipeline.py:314-337)."""
+    collection = _load_pickle(genomes_filename)
 
-    is_diff_next = (np.abs(np.diff(gc.cn, axis=0)).sum(axis=(1, 2)) > 0) * 1
-    is_new_seg = np.concatenate(([1], is_diff_next))
-    seg_id = is_new_seg.cumsum() - 1
+    cn_changes = np.abs(np.diff(collection.cn, axis=0)).sum(axis=(1, 2)) > 0
+    run_id = np.concatenate(([0], np.cumsum(cn_changes)))
 
-    segment_data = pd.DataFrame({
-        'chromosome': gc.segment_chromosome_id,
-        'start': gc.segment_start,
-        'end': gc.segment_end,
-        'seg_id': seg_id,
-    })
+    merged = pd.DataFrame({
+        'chromosome': collection.segment_chromosome_id,
+        'start': collection.segment_start,
+        'end': collection.segment_end,
+        'run_id': run_id,
+    }).groupby(['chromosome', 'run_id'], as_index=False).agg(
+        start=('start', 'min'), end=('end', 'max'))
 
-    segment_data = (
-        segment_data
-        .groupby(['chromosome', 'seg_id'])
-        .agg({'start': 'min', 'end': 'max'})
-        .reset_index()
-        .drop('seg_id', axis=1)
-    )
-
-    segment_data.to_csv(segment_filename, sep='\t', index=False, header=True)
+    merged[['chromosome', 'start', 'end']].to_csv(
+        segment_filename, sep='\t', index=False, header=True)
 
 
 def write_breakpoints(breakpoint_filename, mixture_filename):
-    """(pipeline.py:340-345)"""
-    with open(mixture_filename, 'rb') as mixture_file:
-        mixture = pickle.load(mixture_file)
-
+    """(parity: reference simulations/pipeline.py:340-345)"""
+    mixture = _load_pickle(mixture_filename)
     mixture.breakpoint_segment_data.to_csv(
         breakpoint_filename, sep='\t', header=True, index=False)
 
@@ -358,187 +352,180 @@ def write_breakpoints(breakpoint_filename, mixture_filename):
 # evaluation
 # ---------------------------------------------------------------------------
 
-def evaluate_cn_results(genome_mixture, cn_data_table, order_true, order_pred,
-                        allow_swap):
-    """Segment copy-number accuracy metrics (pipeline.py:343-463)."""
+def _weighted_fraction(mask, weights):
+    return float((mask * weights).sum()) / float(weights.sum())
+
+
+def _aligned_cn_arrays(genome_mixture, cn_data_table, order_true, order_pred):
+    """Align true and predicted per-clone copy-number arrays on the overlap
+    of the true and predicted segmentations.
+
+    Returns (cn_true, cn_pred, overlap_lengths) with clone axes ordered by
+    decreasing mixture fraction and allele axes sorted so major >= minor.
+    """
+    # (N, clones, alleles) truth and prediction in matching layouts
+    if 'major_1' in cn_data_table:
+        cn_true = genome_mixture.cn[:, 1:, :]
+        cn_pred = np.stack([
+            np.stack([cn_data_table['major_1'].values,
+                      cn_data_table['minor_1'].values], axis=1),
+            np.stack([cn_data_table['major_2'].values,
+                      cn_data_table['minor_2'].values], axis=1),
+        ], axis=1)
+    else:
+        # total-only callers: compare clone totals with a singleton allele axis
+        cn_true = genome_mixture.cn[:, 1:, :].sum(axis=2, keepdims=True)
+        cn_pred = np.stack([
+            cn_data_table['total_1'].values[:, None],
+            cn_data_table['total_2'].values[:, None],
+        ], axis=1)
+
+    cn_true = np.sort(cn_true[:, order_true, :], axis=2)[:, :, ::-1]
+    cn_pred = np.sort(cn_pred[:, order_pred, :], axis=2)[:, :, ::-1]
+
     sim_segments = pd.DataFrame({
         'chromosome': genome_mixture.segment_chromosome_id,
         'start': genome_mixture.segment_start,
         'end': genome_mixture.segment_end,
     })
+    overlap = remixt_tpu.segalg.reindex_segments(sim_segments, cn_data_table)
 
-    if 'major_1' in cn_data_table:
-        cn_true = genome_mixture.cn[:, 1:, :]
-        cn_pred = np.array(
-            [
-                [cn_data_table['major_1'], cn_data_table['minor_1']],
-                [cn_data_table['major_2'], cn_data_table['minor_2']],
-            ]
-        ).swapaxes(0, 2).swapaxes(1, 2)
-    else:
-        cn_true = np.zeros((genome_mixture.cn.shape[0],
-                            genome_mixture.cn.shape[1] - 1, 1))
-        cn_true[:, :, 0] = genome_mixture.cn[:, 1:, :].sum(axis=2)
-        cn_pred = np.array(
-            [
-                [cn_data_table['total_1']],
-                [cn_data_table['total_2']],
-            ]
-        ).swapaxes(0, 2).swapaxes(1, 2)
+    return (
+        cn_true[overlap['idx_1'].values],
+        cn_pred[overlap['idx_2'].values],
+        (overlap['end'] - overlap['start']).values,
+    )
 
-    cn_true = cn_true[:, order_true, :]
-    cn_pred = cn_pred[:, order_pred, :]
 
-    # consistent major/minor ordering
-    cn_true = np.sort(cn_true, axis=2)
-    cn_pred = np.sort(cn_pred, axis=2)
+def evaluate_cn_results(genome_mixture, cn_data_table, order_true, order_pred,
+                        allow_swap):
+    """Length-weighted segment copy-number accuracy metrics
+    (parity: reference simulations/pipeline.py:343-463)."""
+    cn_true, cn_pred, lengths = _aligned_cn_arrays(
+        genome_mixture, cn_data_table, order_true, order_pred)
 
-    cn_data_index = remixt_tpu.segalg.reindex_segments(sim_segments, cn_data_table)
-
-    cn_true = cn_true[cn_data_index['idx_1'].values, :, :]
-    cn_pred = cn_pred[cn_data_index['idx_2'].values, :, :]
-    segment_lengths = (cn_data_index['end'] - cn_data_index['start']).values
+    metrics = {}
 
     if cn_true.shape[1] != cn_pred.shape[1]:
-        proportion_cn_correct = -1.
+        metrics['proportion_cn_correct'] = -1.
     else:
+        exact = (cn_true == cn_pred).all(axis=(1, 2))
         if allow_swap:
-            cn_correct = ((cn_true == cn_pred).all(axis=(1, 2))
-                          | (cn_true == cn_pred[:, ::-1, :]).all(axis=(1, 2)))
-        else:
-            cn_correct = (cn_true == cn_pred).all(axis=(1, 2))
-        proportion_cn_correct = (
-            float((cn_correct * segment_lengths).sum()) / float(segment_lengths.sum()))
+            exact |= (cn_true == cn_pred[:, ::-1, :]).all(axis=(1, 2))
+        metrics['proportion_cn_correct'] = _weighted_fraction(exact, lengths)
 
-    is_dom_cn_correct = np.all(cn_true[:, 0, :] == cn_pred[:, 0, :], axis=1)
-    proportion_dom_cn_correct = (
-        float((is_dom_cn_correct * segment_lengths).sum()) / float(segment_lengths.sum()))
+    metrics['proportion_dom_cn_correct'] = _weighted_fraction(
+        (cn_true[:, 0, :] == cn_pred[:, 0, :]).all(axis=1), lengths)
 
-    is_clonal_true = np.all(
-        cn_true[:, 0:1, :].swapaxes(1, 2) == cn_true[:, :, :].swapaxes(1, 2), axis=(1, 2))
-    is_clonal_pred = np.all(
-        cn_pred[:, 0:1, :].swapaxes(1, 2) == cn_pred[:, :, :].swapaxes(1, 2), axis=(1, 2))
-    is_clonal_correct = is_clonal_true == is_clonal_pred
-    is_subclonal_correct = ~is_clonal_true == ~is_clonal_pred
+    # clonality: does every clone share the dominant clone's copy number
+    clonal_true = (cn_true == cn_true[:, :1, :]).all(axis=(1, 2))
+    clonal_pred = (cn_pred == cn_pred[:, :1, :]).all(axis=(1, 2))
+    metrics['proportion_clonal_correct'] = _weighted_fraction(
+        clonal_true == clonal_pred, lengths)
+    metrics['proportion_subclonal_correct'] = _weighted_fraction(
+        ~clonal_true == ~clonal_pred, lengths)
 
-    proportion_clonal_correct = (
-        float((is_clonal_correct * segment_lengths).sum()) / float(segment_lengths.sum()))
-    proportion_subclonal_correct = (
-        float((is_subclonal_correct * segment_lengths).sum()) / float(segment_lengths.sum()))
+    # length-weighted ploidies: clone-averaged and per-clone
+    for label, cn in (('pred', cn_pred), ('true', cn_true)):
+        metrics['{}_ploidy'.format(label)] = _weighted_fraction(
+            cn.mean(axis=1).sum(axis=1), lengths)
+        for clone in (0, 1):
+            metrics['{}_ploidy_{}'.format(label, clone + 1)] = (
+                _weighted_fraction(cn[:, clone, :].sum(axis=1), lengths))
+        divergent = (cn.max(axis=1) != cn.min(axis=1)).sum(axis=1)
+        metrics['{}_proportion_divergent'.format(label)] = (
+            _weighted_fraction(divergent, lengths) / 2.)
 
-    evaluation = dict()
-    evaluation['proportion_cn_correct'] = proportion_cn_correct
-    evaluation['proportion_dom_cn_correct'] = proportion_dom_cn_correct
-    evaluation['proportion_clonal_correct'] = proportion_clonal_correct
-    evaluation['proportion_subclonal_correct'] = proportion_subclonal_correct
-    evaluation['pred_ploidy'] = (
-        (cn_pred.mean(axis=1) * segment_lengths[:, np.newaxis]).sum()
-        / float(segment_lengths.sum()))
-    evaluation['true_ploidy'] = (
-        (cn_true.mean(axis=1) * segment_lengths[:, np.newaxis]).sum()
-        / float(segment_lengths.sum()))
-    evaluation['pred_ploidy_1'] = (
-        (cn_pred[:, 0, :] * segment_lengths[:, np.newaxis]).sum()
-        / float(segment_lengths.sum()))
-    evaluation['true_ploidy_1'] = (
-        (cn_true[:, 0, :] * segment_lengths[:, np.newaxis]).sum()
-        / float(segment_lengths.sum()))
-    evaluation['pred_ploidy_2'] = (
-        (cn_pred[:, 1, :] * segment_lengths[:, np.newaxis]).sum()
-        / float(segment_lengths.sum()))
-    evaluation['true_ploidy_2'] = (
-        (cn_true[:, 1, :] * segment_lengths[:, np.newaxis]).sum()
-        / float(segment_lengths.sum()))
+    return {'cn_evaluation': pd.Series(metrics)}
 
-    pred_divergent = (cn_pred.max(axis=1) != cn_pred.min(axis=1)) * 1.
-    true_divergent = (cn_true.max(axis=1) != cn_true.min(axis=1)) * 1.
-    evaluation['pred_proportion_divergent'] = (
-        (pred_divergent * segment_lengths[:, np.newaxis]).sum()
-        / (2. * segment_lengths.sum()))
-    evaluation['true_proportion_divergent'] = (
-        (true_divergent * segment_lengths[:, np.newaxis]).sum()
-        / (2. * segment_lengths.sum()))
 
-    return {'cn_evaluation': pd.Series(evaluation)}
+def _true_breakpoint_table(genome_mixture):
+    """Per-prediction truth columns: raw and minimized true copy numbers
+    plus balancedness, aligned on prediction_id."""
+    collection = genome_mixture.genome_collection
+    true_cn = collection.collapsed_breakpoint_copy_number()
+    min_cn = collection.collapsed_minimal_breakpoint_copy_number()
+    balanced = collection.collapsed_balanced_breakpoints()
+
+    M = genome_mixture.M
+    zeros = np.zeros(M)
+    rows = {}
+    for prediction_id, bp in genome_mixture.detected_breakpoints.items():
+        raw = true_cn.get(bp, zeros)
+        minimal = min_cn.get(bp, zeros)
+        row = {'is_balanced': bp in balanced}
+        for m in range(1, M):
+            row['true_cn_{}'.format(m)] = raw[m]
+            row['min_true_cn_{}'.format(m)] = minimal[m]
+        rows[prediction_id] = row
+    table = pd.DataFrame.from_dict(rows, orient='index')
+    table.index.name = 'prediction_id'
+    return table.reset_index()
 
 
 def evaluate_brk_cn_results(genome_mixture, brk_cn_table, order_true,
                             order_pred, allow_swap):
-    """Breakpoint copy-number accuracy metrics (pipeline.py:466-572)."""
-    true_cols = ['true_cn_{}'.format(m) for m in range(1, genome_mixture.M)]
-    min_true_cols = ['min_true_cn_{}'.format(m) for m in range(1, genome_mixture.M)]
-
+    """Breakpoint copy-number accuracy against the cycle-minimized truth,
+    excluding balanced breakpoints (parity: reference
+    simulations/pipeline.py:466-572)."""
+    min_true_cols = ['min_true_cn_{}'.format(m)
+                     for m in range(1, genome_mixture.M)]
     pred_cols = []
     for m in itertools.count(1):
-        if 'cn_{}'.format(m) not in brk_cn_table:
+        col = 'cn_{}'.format(m)
+        if col not in brk_cn_table:
             break
-        pred_cols.append('cn_{}'.format(m))
+        pred_cols.append(col)
 
-    data = genome_mixture.breakpoint_segment_data.set_index('prediction_id')
-
-    for col in itertools.chain(true_cols, min_true_cols):
-        data[col] = 0
-    data['is_balanced'] = False
-
-    true_brk_cn = genome_mixture.genome_collection.collapsed_breakpoint_copy_number()
-    min_true_brk_cn = genome_mixture.genome_collection.collapsed_minimal_breakpoint_copy_number()
-    true_balanced_breakpoints = genome_mixture.genome_collection.collapsed_balanced_breakpoints()
-
-    for prediction_id, breakpoint in genome_mixture.detected_breakpoints.items():
-        if breakpoint not in true_brk_cn:
-            continue
-        data.loc[prediction_id, true_cols] = true_brk_cn[breakpoint][1:]
-        data.loc[prediction_id, min_true_cols] = min_true_brk_cn[breakpoint][1:]
-        if breakpoint in true_balanced_breakpoints:
-            data.loc[prediction_id, 'is_balanced'] = True
-
-    data.reset_index(inplace=True)
-
-    data = data.merge(brk_cn_table[['prediction_id'] + pred_cols],
-                      on='prediction_id', how='left').fillna(0.0)
-
+    data = genome_mixture.breakpoint_segment_data.merge(
+        _true_breakpoint_table(genome_mixture), on='prediction_id')
+    data = data.merge(
+        brk_cn_table[['prediction_id'] + pred_cols],
+        on='prediction_id', how='left').fillna(0.0)
     data = data[~data['is_balanced']]
 
     cn_true = data[min_true_cols].values[:, order_true]
     cn_pred = data[pred_cols].values[:, order_pred]
 
     if cn_true.shape[1] != cn_pred.shape[1]:
-        cn_correct = -1.
+        correct = -1.
     else:
+        correct = (cn_true == cn_pred).all(axis=1)
         if allow_swap:
-            cn_correct = ((cn_true == cn_pred).all(axis=(1,))
-                          | (cn_true == cn_pred[:, ::-1]).all(axis=(1,)))
-        else:
-            cn_correct = (cn_true == cn_pred).all(axis=(1,))
+            correct |= (cn_true == cn_pred[:, ::-1]).all(axis=1)
 
-    data['cn_correct'] = cn_correct
+    data['cn_correct'] = correct
     data['true_present'] = (data[min_true_cols] > 0).any(axis=1)
     data['pred_present'] = (data[pred_cols] > 0).any(axis=1)
-    data['true_subclonal'] = (data[min_true_cols] == 0).any(axis=1) & data['true_present']
-    data['pred_subclonal'] = (data[pred_cols] == 0).any(axis=1) & data['pred_present']
+    data['true_subclonal'] = (
+        (data[min_true_cols] == 0).any(axis=1) & data['true_present'])
+    data['pred_subclonal'] = (
+        (data[pred_cols] == 0).any(axis=1) & data['pred_present'])
 
-    evaluation = dict()
-    evaluation['brk_cn_correct_proportion'] = (
-        float(data['cn_correct'].sum()) / float(len(data.index)))
-    evaluation['brk_cn_present_num_true'] = float(data['true_present'].sum())
-    evaluation['brk_cn_present_num_pos'] = float(data['pred_present'].sum())
-    evaluation['brk_cn_present_num_true_pos'] = (
-        float((data['pred_present'] & data['true_present']).sum()))
-    evaluation['brk_cn_subclonal_num_true'] = float(data['true_subclonal'].sum())
-    evaluation['brk_cn_subclonal_num_pos'] = float(data['pred_subclonal'].sum())
-    evaluation['brk_cn_subclonal_num_true_pos'] = (
-        float((data['pred_subclonal'] & data['true_subclonal']).sum()))
+    metrics = {
+        'brk_cn_correct_proportion': (
+            float(data['cn_correct'].sum()) / float(len(data.index))),
+        'brk_cn_present_num_true': float(data['true_present'].sum()),
+        'brk_cn_present_num_pos': float(data['pred_present'].sum()),
+        'brk_cn_present_num_true_pos': float(
+            (data['pred_present'] & data['true_present']).sum()),
+        'brk_cn_subclonal_num_true': float(data['true_subclonal'].sum()),
+        'brk_cn_subclonal_num_pos': float(data['pred_subclonal'].sum()),
+        'brk_cn_subclonal_num_true_pos': float(
+            (data['pred_subclonal'] & data['true_subclonal']).sum()),
+    }
 
     return {
         'brk_cn_table': data,
-        'brk_cn_evaluation': pd.Series(evaluation),
+        'brk_cn_evaluation': pd.Series(metrics),
     }
 
 
 def evaluate_results(genome_mixture, cn_table, brk_cn_table, mix_pred):
-    """Full evaluation with clone ordering and swap tolerance
-    (pipeline.py:575-647)."""
-    if len(cn_table.index) == 0 or mix_pred.shape[0] == 0:
+    """Full evaluation: order clones by mixture fraction, tolerate clone
+    swaps for near-equal mixtures, pad single-clone callers to two clones
+    (parity: reference simulations/pipeline.py:575-647)."""
+    if len(cn_table.index) == 0 or np.shape(mix_pred)[0] == 0:
         return {
             'brk_cn_evaluation': pd.Series(dtype=float),
             'brk_cn_table': pd.DataFrame(),
@@ -547,28 +534,27 @@ def evaluate_results(genome_mixture, cn_table, brk_cn_table, mix_pred):
 
     cn_table = cn_table.copy()
     brk_cn_table = brk_cn_table.copy()
-    mix_true = genome_mixture.frac.copy()
 
-    # evaluation code assumes 2 tumour clones
-    if 'major_1' in cn_table and 'major_2' not in cn_table:
-        cn_table['major_2'] = cn_table['major_1']
-        cn_table['minor_2'] = cn_table['minor_1']
-    if 'total_1' in cn_table and 'total_2' not in cn_table:
-        cn_table['total_2'] = cn_table['total_1']
+    # single-tumour-clone callers evaluate as two identical clones
+    for a, b in (('major_1', 'major_2'), ('minor_1', 'minor_2'),
+                 ('total_1', 'total_2')):
+        if a in cn_table and b not in cn_table:
+            cn_table[b] = cn_table[a]
     if 'cn_2' not in brk_cn_table:
-        brk_cn_table['cn_2'] = brk_cn_table['cn_1']
+        brk_cn_table['cn_2'] = brk_cn_table.get(
+            'cn_1', pd.Series(dtype=float))
+
+    mix_true = np.asarray(genome_mixture.frac, dtype=float).copy()
+    mix_pred = np.asarray(mix_pred, dtype=float).copy()
     if len(mix_pred) == 2:
         mix_pred = np.concatenate([mix_pred, [0.]])
 
-    mix_pred = np.asarray(mix_pred, dtype=float)
-    mix_true = np.asarray(mix_true, dtype=float)
-
     order_true = np.argsort(mix_true[1:])[::-1]
-    mix_true[1:] = mix_true[1:][order_true]
-
     order_pred = np.argsort(mix_pred[1:])[::-1]
-    mix_pred[1:] = mix_pred[1:][order_pred]
+    mix_true = np.concatenate([mix_true[:1], mix_true[1:][order_true]])
+    mix_pred = np.concatenate([mix_pred[:1], mix_pred[1:][order_pred]])
 
+    # near-equal tumour clones are inherently order-ambiguous
     allow_swap = mix_true[1:].min() / mix_true[1:].max() > 0.75
 
     results = evaluate_cn_results(
@@ -576,71 +562,59 @@ def evaluate_results(genome_mixture, cn_table, brk_cn_table, mix_pred):
     results.update(evaluate_brk_cn_results(
         genome_mixture, brk_cn_table, order_true, order_pred, allow_swap))
 
-    mix_results = {}
-    for idx, f in enumerate(mix_true):
-        mix_results['mix_true_' + str(idx)] = f
-    for idx, f in enumerate(mix_pred):
-        mix_results['mix_pred_' + str(idx)] = f
-    results['mix_results'] = pd.Series(mix_results)
+    results['mix_results'] = pd.Series(dict(
+        [('mix_true_{}'.format(i), f) for i, f in enumerate(mix_true)]
+        + [('mix_pred_{}'.format(i), f) for i, f in enumerate(mix_pred)]))
 
     return results
 
 
 def evaluate_likelihood_results(experiment, cn_data_table):
-    """Outlier-call accuracy against simulated outliers (pipeline.py:650-693)."""
+    """Outlier-call accuracy against the simulated outlier indicators
+    (parity: reference simulations/pipeline.py:650-693)."""
     sim_segments = pd.DataFrame({
         'chromosome': experiment.genome_mixture.segment_chromosome_id,
         'start': experiment.genome_mixture.segment_start,
         'end': experiment.genome_mixture.segment_end,
     })
+    overlap = remixt_tpu.segalg.reindex_segments(sim_segments, cn_data_table)
+    lengths = (overlap['end'] - overlap['start']).values
 
-    cn_data_index = remixt_tpu.segalg.reindex_segments(sim_segments, cn_data_table)
+    metrics = {}
+    for kind in ('total', 'allele'):
+        truth = getattr(experiment, 'is_outlier_' + kind)[
+            overlap['idx_1'].values]
+        called = (cn_data_table['prob_is_outlier_' + kind] > 0.5).values[
+            overlap['idx_2'].values]
+        metrics['correct_outlier_{}_proportion'.format(kind)] = (
+            _weighted_fraction(truth == called, lengths))
 
-    is_outlier_total_pred = (cn_data_table['prob_is_outlier_total'] > 0.5).values
-    is_outlier_allele_pred = (cn_data_table['prob_is_outlier_allele'] > 0.5).values
-
-    is_outlier_total_true = experiment.is_outlier_total[cn_data_index['idx_1'].values]
-    is_outlier_allele_true = experiment.is_outlier_allele[cn_data_index['idx_1'].values]
-
-    is_outlier_total_pred = is_outlier_total_pred[cn_data_index['idx_2'].values]
-    is_outlier_allele_pred = is_outlier_allele_pred[cn_data_index['idx_2'].values]
-
-    is_outlier_total_correct = is_outlier_total_true == is_outlier_total_pred
-    is_outlier_allele_correct = is_outlier_allele_true == is_outlier_allele_pred
-
-    segment_lengths = (cn_data_index['end'] - cn_data_index['start']).values
-
-    evaluation = {}
-    evaluation['correct_outlier_total_proportion'] = (
-        (is_outlier_total_correct * segment_lengths).sum() / float(segment_lengths.sum()))
-    evaluation['correct_outlier_allele_proportion'] = (
-        (is_outlier_allele_correct * segment_lengths).sum() / float(segment_lengths.sum()))
-
-    return {'outlier_evaluation': pd.Series(evaluation)}
+    return {'outlier_evaluation': pd.Series(metrics)}
 
 
 def evaluate_results_task(evaluation_filename, results_filename,
                           mixture_filename=None, experiment_filename=None,
                           key_prefix=''):
     """Evaluate one results store against simulation truth
-    (pipeline.py:694-737)."""
+    (parity: reference simulations/pipeline.py:694-737)."""
     with HDFStore(results_filename, 'r') as store:
         cn_table = store[key_prefix + '/cn']
-        brk_cn_table = pd.DataFrame(columns=['prediction_id', 'cn_1', 'cn_2'])
         if (key_prefix + '/brk_cn') in store.keys():
             brk_cn_table = store[key_prefix + '/brk_cn']
+        else:
+            brk_cn_table = pd.DataFrame(
+                columns=['prediction_id', 'cn_1', 'cn_2'])
         mix_pred = store[key_prefix + '/mix'].values
 
     experiment = None
     if mixture_filename is not None:
-        with open(mixture_filename, 'rb') as mixture_file:
-            mixture = pickle.load(mixture_file)
+        mixture = _load_pickle(mixture_filename)
     elif experiment_filename is not None:
-        with open(experiment_filename, 'rb') as experiment_file:
-            experiment = pickle.load(experiment_file)
+        experiment = _load_pickle(experiment_filename)
         mixture = experiment.genome_mixture
     else:
-        raise ValueError('either mixture_filename or experiment_filename must be set')
+        raise ValueError(
+            'either mixture_filename or experiment_filename must be set')
 
     evaluation = evaluate_results(mixture, cn_table, brk_cn_table, mix_pred)
 
@@ -652,34 +626,31 @@ def evaluate_results_task(evaluation_filename, results_filename,
             store['/' + key] = data
 
 
-def merge_evaluations(merged_filename, sim_defs, evaluation_filenames, key_names):
+def merge_evaluations(merged_filename, sim_defs, evaluation_filenames,
+                      key_names):
     """Merge per-simulation/tool evaluations into one store
-    (pipeline.py:740-777)."""
-    with HDFStore(merged_filename, 'w') as merged_store:
-        sim_defs_table = pd.DataFrame(
+    (parity: reference simulations/pipeline.py:740-777)."""
+    with HDFStore(merged_filename, 'w') as merged:
+        merged['/simulations'] = pd.DataFrame(
             list(sim_defs.values()),
             index=pd.Index(list(sim_defs.keys()), name='sim_id'),
-        ).reset_index()
-        merged_store['/simulations'] = sim_defs_table.astype(str)
+        ).reset_index().astype(str)
 
-        tables = collections.defaultdict(list)
+        gathered = collections.defaultdict(list)
         for key, evaluation_filename in evaluation_filenames.items():
+            key = key if isinstance(key, tuple) else (key,)
             with HDFStore(evaluation_filename, 'r') as store:
-                if not isinstance(key, tuple):
-                    key = (key,)
-
-                for table_name in ('/cn_evaluation', '/brk_cn_evaluation',
-                                   '/mix_results', '/outlier_evaluation'):
-                    if table_name not in store.keys():
+                for name in ('/cn_evaluation', '/brk_cn_evaluation',
+                             '/mix_results', '/outlier_evaluation'):
+                    if name not in store.keys():
                         continue
-                    table = store[table_name]
-                    for value, name in zip(key, key_names):
-                        table[name] = value
-                    tables[table_name].append(table)
-
+                    row = store[name]
+                    for value, col in zip(key, key_names):
+                        row[col] = value
+                    gathered[name].append(row)
                 if '/brk_cn_table' in store.keys():
-                    merged_store['/brk_cn_table/' + '/'.join(str(k) for k in key)] = (
+                    merged['/brk_cn_table/' + '/'.join(map(str, key))] = (
                         store['/brk_cn_table'])
 
-        for table_name, table_list in tables.items():
-            merged_store[table_name] = pd.DataFrame(table_list)
+        for name, rows in gathered.items():
+            merged[name] = pd.DataFrame(rows)

@@ -1,0 +1,156 @@
+"""Pallas forward-backward kernel parity vs the lax.scan path.
+
+The Pallas kernel (ops/fb_pallas.py) is the production TPU code path
+(spec.use_pallas); these tests run it in Pallas interpret mode on CPU so
+the shipped kernel logic — VMEM-resident class matrices, the DMA'd
+breakend schedule, the reverse-direction column remap — is exercised by
+the normal test suite.  This is the naive-vs-optimized discipline of the
+reference suite (/root/reference/remixt/tests/test_model.py:58-93)
+applied to the kernel: the chain-batched lax.scan implementation
+(ops/fb_scan.py, itself oracle-verified in test_engine_parity.py) is the
+reference.
+
+Cases cover breakend-heavy chains, several breakends on the same grid
+step in different lanes, uneven chain lengths including singleton chains,
+and more chains than one sublane tile (Q > 8).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from remixt_tpu.ops import fb_pallas, fb_scan
+
+
+def build_problem(seed, chain_lengths, S=7, num_static=5, be_frac=0.25):
+    """Random chain-batched FB problem in the engine's bank layout.
+
+    Returns kwargs for both implementations plus the global N.
+    """
+    rng = np.random.RandomState(seed)
+    chain_lengths = np.asarray(chain_lengths)
+    Q = len(chain_lengths)
+    L = int(chain_lengths.max())
+    N = int(chain_lengths.sum())
+
+    framelogprob = -5.0 * rng.rand(N, S)
+
+    # transition banks: log-weights <= 0, bank[0] = zero cut matrix
+    static_bank = -3.0 * rng.rand(num_static, S, S)
+    static_bank[0] = 0.0
+
+    # chain layout: segments numbered consecutively chain by chain
+    chain_seg_map = np.full((Q, L), N, dtype=np.int32)
+    offset = 0
+    for q, length in enumerate(chain_lengths):
+        chain_seg_map[q, :length] = np.arange(offset, offset + length)
+        offset += length
+
+    # per-pair bank indices: mostly static classes, a sample of breakends
+    chain_bank_idx = np.zeros((Q, max(L - 1, 1)), dtype=np.int32)
+    be_positions = []
+    for q, length in enumerate(chain_lengths):
+        for t in range(length - 1):
+            if rng.rand() < be_frac:
+                be_positions.append((q, t))
+            else:
+                chain_bank_idx[q, t] = rng.randint(num_static)
+    J = len(be_positions)
+    be_bank = -3.0 * rng.rand(max(J, 1), S, S)
+    for j, (q, t) in enumerate(be_positions):
+        chain_bank_idx[q, t] = num_static + j
+
+    chain_last = (chain_lengths - 1).astype(np.int32)
+
+    plan = fb_pallas.build_pallas_plan(
+        chain_bank_idx, num_static, Q, L, S)
+
+    return dict(
+        framelogprob=jnp.asarray(framelogprob, dtype=jnp.float32),
+        static_bank=jnp.asarray(static_bank, dtype=jnp.float32),
+        be_bank=jnp.asarray(be_bank[:max(J, 1)], dtype=jnp.float32),
+        full_bank=jnp.asarray(
+            np.concatenate([static_bank, be_bank[:J]], axis=0)
+            if J else static_bank, dtype=jnp.float32),
+        chain_bank_idx=jnp.asarray(chain_bank_idx),
+        chain_seg_map=jnp.asarray(chain_seg_map),
+        chain_last=jnp.asarray(chain_last),
+        plan=plan,
+        N=N,
+        num_breakends=J,
+    )
+
+
+def run_both(problem):
+    alphas_ref, betas_ref, log_norm_ref = fb_scan.forward_backward_chains(
+        problem['framelogprob'], problem['full_bank'],
+        problem['chain_bank_idx'], problem['chain_seg_map'],
+        problem['chain_last'])
+    alphas, betas, log_norm = fb_pallas.forward_backward_chains_pallas(
+        problem['framelogprob'], problem['static_bank'], problem['be_bank'],
+        problem['chain_seg_map'], problem['chain_last'], problem['plan'],
+        interpret=True)
+    return ((np.asarray(alphas_ref), np.asarray(betas_ref),
+             float(log_norm_ref)),
+            (np.asarray(alphas), np.asarray(betas), float(log_norm)))
+
+
+def assert_parity(problem, atol=2e-4):
+    (alphas_ref, betas_ref, log_norm_ref), (alphas, betas, log_norm) = (
+        run_both(problem))
+    # compare only where messages carry posterior-relevant mass: unreachable
+    # states clip to a large negative floor in both implementations but at
+    # different constants
+    floor = -60.0
+    for ref, got in ((alphas_ref, alphas), (betas_ref, betas)):
+        significant = ref > (ref.max(axis=-1, keepdims=True) + floor)
+        np.testing.assert_allclose(
+            got[significant], ref[significant], atol=atol, rtol=1e-5)
+    np.testing.assert_allclose(log_norm, log_norm_ref, rtol=1e-5)
+
+
+def test_single_chain_no_breakends():
+    problem = build_problem(0, [12], be_frac=0.0)
+    assert problem['num_breakends'] == 0
+    assert_parity(problem)
+
+
+def test_multi_chain_uneven():
+    problem = build_problem(1, [9, 4, 13, 1])
+    assert_parity(problem)
+
+
+def test_breakend_heavy():
+    problem = build_problem(2, [16, 10], be_frac=0.8)
+    assert problem['num_breakends'] > 10
+    assert_parity(problem)
+
+
+def test_same_step_breakends_across_lanes():
+    """Several breakends on the same grid column (same t, different
+    chains) must each get their own DMA slot (plan kmax > 1)."""
+    problem = build_problem(3, [8, 8, 8, 8], be_frac=0.9)
+    assert problem['plan']['kmax'] > 1
+    assert_parity(problem)
+
+
+def test_many_chains_pad_tiles():
+    """More chains than one 8-row sublane tile plus pad lanes."""
+    problem = build_problem(4, [5, 3, 7, 2, 6, 4, 8, 1, 5, 2], be_frac=0.3)
+    assert_parity(problem)
+
+
+def test_posterior_marginals_match():
+    """The consumer-level quantity: normalized alpha+beta marginals."""
+    problem = build_problem(5, [11, 6, 3], be_frac=0.4)
+    (alphas_ref, betas_ref, _), (alphas, betas, _) = run_both(problem)
+
+    def marginals(a, b):
+        g = a + b
+        g = g - g.max(axis=-1, keepdims=True)
+        p = np.exp(g)
+        return p / p.sum(axis=-1, keepdims=True)
+
+    np.testing.assert_allclose(
+        marginals(alphas, betas), marginals(alphas_ref, betas_ref),
+        atol=1e-5)
