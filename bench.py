@@ -1,19 +1,30 @@
-"""Benchmark driver: whole-genome E-step throughput on one TPU chip.
+"""Benchmark driver: whole-genome throughput on one TPU chip.
 
 Problem: hg38-scale segment chain (N=6000 segments at the default 500 kb
-grid — defaults.py segment_length), M=3 clones, max_copy_number=12 → S=355
-HMM states, 300 breakpoints. One full variational sweep = emission mixing +
-forward-backward + breakpoint/outlier/swap updates (the reference's
-variational_update, cn_model.py:444-460).
+grid), M=3 clones, max_copy_number=12 -> S=355 HMM states, 300 breakpoints,
+23 chains. Measures what BASELINE.md names:
 
-Baseline: the same engine compiled for CPU and pinned to ONE core
-(taskset), on an N=512 slice, scaled linearly in N. XLA-CPU on one core is
-at least as fast as the reference's single-threaded Cython scalar loops
-(the reference has no published numbers — BASELINE.md), so vs_baseline is a
-conservative single-chip-vs-single-core speedup.
+  1. E-step segments/s per chip, in the PRODUCTION shape: the restart grid
+     (12 restarts, the reference's init_id fan-out) vmapped into one SPMD
+     sweep. Headline metric.
+  2. Single-restart sweep segments/s (round-1 continuity metric).
+  3. Whole-genome full-fit wall-clock (5 EM x 5 VI + fused h update + the
+     10-parameter grid zoom + decode) and EM iterations/s, cold (with
+     compiles) and warm (restart steady state).
+  4. Pallas-vs-scan posterior parity on the production problem (the shipped
+     TPU kernel vs the oracle-verified lax.scan path).
 
-Prints exactly one JSON line:
+Baselines (both single CPU core, timed by subprocess with taskset):
+  - engine-on-1-core: the same JAX engine, XLA-CPU, one core — conservative
+    (XLA-CPU is at least as fast as the reference's Cython scalar loops).
+  - oracle-on-1-core: the float64 numpy oracle (models/oracle.py), a
+    faithful reimplementation of the reference bpmodel.pyx semantics — the
+    closest available proxy for the reference implementation itself
+    (Cython is not installed; the reference publishes no numbers).
+
+Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+All measurements are also written to BENCH_DETAIL.json.
 """
 
 import json
@@ -24,13 +35,21 @@ import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 CPU_BASELINE_N = 512
 CPU_BASELINE_EVENTS = 26
-TPU_N = 6000
-TPU_EVENTS = 300
+ORACLE_BASELINE_N = 512
+# overridable for smoke-testing the driver on small problems
+TPU_N = int(os.environ.get('BENCH_N', 6000))
+TPU_EVENTS = int(os.environ.get('BENCH_EVENTS', 300))
+NUM_RESTARTS = int(os.environ.get('BENCH_RESTARTS', 12))
 
 
-def build_problem(N, num_events, seed=0):
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_model(N, num_events, seed=0):
     import jax.numpy as jnp
     from remixt_tpu.simulations import simple as sim
     from remixt_tpu.models.fit import BreakpointModel
@@ -44,67 +63,247 @@ def build_problem(N, num_events, seed=0):
         max_copy_number=12, max_depth=1e9,
         min_segment_length=1.0, min_proportion_genotyped=0.0,
         divergence_weight=1e-7, dtype=jnp.float32, random_seed=1234)
+    model.num_em_iter = 5
+    model.num_update_iter = 5
+    return model, data
+
+
+def build_problem(N, num_events, seed=0):
+    model, data = build_model(N, num_events, seed=seed)
     spec = model._build_spec(3)
     params = spec.init_params(
         data['h'], 1e-7,
         total_mask=model._total_likelihood_mask.astype(float),
         allele_mask=model._allele_likelihood_mask.astype(float))
     state = spec.init_state()
-    return spec, params, state
+    return spec, params, state, data
 
 
-def time_sweep(N, num_events, iters, repeats=3):
-    import jax
-    spec, params, state = build_problem(N, num_events)
-
-    state = spec.sweep(params, state)  # compile
-    jax.block_until_ready(state)
-
-    # median of repeated timing loops: tunnel/device conditions vary
+def median_time(fn, iters, repeats=3):
+    """Median over repeated timing loops (tunnel/device conditions vary)."""
     times = []
     for _ in range(repeats):
         t0 = time.time()
-        for _ in range(iters):
-            state = spec.sweep(params, state)
-        jax.block_until_ready(state)
+        fn(iters)
         times.append((time.time() - t0) / iters)
-    dt = sorted(times)[len(times) // 2]
-    assert np.isfinite(float(state.hmm_log_norm_const))
+    return sorted(times)[len(times) // 2]
+
+
+def time_single_sweep(spec, params, state, iters=5):
+    import jax
+    state0 = spec.sweep(params, state)  # compile
+    jax.block_until_ready(state0)
+
+    def run(n):
+        s = state0
+        for _ in range(n):
+            s = spec.sweep(params, s)
+        jax.block_until_ready(s)
+        run.last = s
+
+    dt = median_time(run, iters)
+    assert np.isfinite(float(run.last.hmm_log_norm_const))
     return spec.N / dt
 
 
-def run_cpu_baseline():
-    """Run this script's --cpu-baseline mode on one pinned CPU core."""
+def time_restart_batched_sweep(spec, params, state, num_restarts, iters=5):
+    """The production shape: the restart grid as one vmapped SPMD sweep."""
+    import jax
+    from remixt_tpu.parallel import restarts as par
+
+    # distinct h per restart, as the real grid has
+    rng = np.random.RandomState(0)
+    params_list = []
+    for _ in range(num_restarts):
+        scale = 1.0 + 0.2 * rng.rand()
+        params_list.append(params._replace(h=params.h * scale))
+    params_b = par.stack_pytrees(params_list)
+    state_b = par.stack_pytrees([state] * num_restarts)
+
+    # the Pallas kernel has no batching rule; the vmapped path rides the
+    # chain-batched scan (einsum picks up the restart axis for free)
+    use_pallas = spec.use_pallas
+    spec.use_pallas = False
+    spec._jit_cache = {}
+    import functools
+    from remixt_tpu.models import engine as eng
+    sweep_b = jax.jit(jax.vmap(functools.partial(eng.variational_sweep, spec)))
+
+    state_b0 = sweep_b(params_b, state_b)
+    jax.block_until_ready(state_b0)
+
+    def run(n):
+        s = state_b0
+        for _ in range(n):
+            s = sweep_b(params_b, s)
+        jax.block_until_ready(s)
+        run.last = s
+
+    dt = median_time(run, iters)
+    spec.use_pallas = use_pallas
+    spec._jit_cache = {}
+    assert np.all(np.isfinite(np.asarray(run.last.hmm_log_norm_const)))
+    return num_restarts * spec.N / dt
+
+
+def time_full_fit(model, data):
+    """Whole-genome production fit: 5 EM x 5 VI + h + param grids + decode."""
+    t0 = time.time()
+    model.fit(data['h'])
+    cold = time.time() - t0
+
+    t0 = time.time()
+    model.fit(data['h'])  # warm restart: compiled kernels reused
+    warm = time.time() - t0
+
+    cn, brk_cn = model.optimal_cn()
+    assert np.isfinite(model.prev_elbo)
+    return {
+        'full_fit_cold_s': round(cold, 2),
+        'full_fit_warm_s': round(warm, 2),
+        'em_iterations_per_s_warm': round(model.num_em_iter / warm, 3),
+        'vi_sweeps_per_s_warm': round(
+            model.num_em_iter * model.num_update_iter / warm, 2),
+        'elbo': float(model.prev_elbo),
+    }
+
+
+def pallas_parity(spec, params, num_sweeps=2):
+    """Shipped Pallas kernel vs scan path on the production problem."""
+    import jax
+    if jax.default_backend() == 'cpu':
+        return None
+    states = {}
+    for use_pallas in (False, True):
+        spec.use_pallas = use_pallas
+        spec._jit_cache = {}
+        s = spec.init_state()
+        for _ in range(num_sweeps):
+            s = spec.sweep(params, s)
+        jax.block_until_ready(s)
+        states[use_pallas] = s
+    marg_p = np.asarray(states[True].posterior_marginals, dtype=np.float64)
+    marg_s = np.asarray(states[False].posterior_marginals, dtype=np.float64)
+    parity = {
+        'posterior_max_abs_diff': float(np.max(np.abs(marg_p - marg_s))),
+        'posterior_argmax_disagreement': float(
+            np.mean(marg_p.argmax(1) != marg_s.argmax(1))),
+        'log_norm_rel_diff': abs(
+            float(states[True].hmm_log_norm_const)
+            - float(states[False].hmm_log_norm_const)
+        ) / abs(float(states[False].hmm_log_norm_const)),
+    }
+    # the two f32 paths must agree to f32-noise level on the normalizer
+    assert parity['log_norm_rel_diff'] < 1e-4, parity
+    return parity
+
+
+def run_subprocess_baseline(mode):
+    """Run this script's baseline mode pinned to one CPU core."""
     env = dict(os.environ)
     env.pop('PALLAS_AXON_POOL_IPS', None)
     env['JAX_PLATFORMS'] = 'cpu'
     env['XLA_FLAGS'] = '--xla_cpu_multi_thread_eigen=false'
     env['OMP_NUM_THREADS'] = '1'
     env['OPENBLAS_NUM_THREADS'] = '1'
-    cmd = ['taskset', '-c', '0', sys.executable, os.path.abspath(__file__),
-           '--cpu-baseline']
+    cmd = ['taskset', '-c', '0', sys.executable,
+           os.path.abspath(__file__), mode]
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                         cwd=os.path.dirname(os.path.abspath(__file__)))
+                         cwd=REPO)
     for line in out.stdout.splitlines():
-        if line.startswith('CPU_BASELINE'):
+        if line.startswith('BASELINE'):
             return float(line.split()[1])
-    raise RuntimeError('cpu baseline failed:\n' + out.stdout + out.stderr)
+    raise RuntimeError('baseline failed:\n' + out.stdout + out.stderr)
+
+
+def oracle_baseline_segs_per_s():
+    """One float64 numpy-oracle VI sweep on this (pinned) core."""
+    sys.path.insert(0, os.path.join(REPO, 'tools'))
+    from accuracy_gate import make_problem as gate_problem, build_oracle_for
+
+    model, data = gate_problem(N=ORACLE_BASELINE_N, num_events=26, seed=0)
+    oracle = build_oracle_for(model, data['h'])
+    oracle.total_likelihood_mask = model._total_likelihood_mask.astype(np.int64)
+    oracle.allele_likelihood_mask = model._allele_likelihood_mask.astype(np.int64)
+
+    t0 = time.time()
+    oracle.update_p_allele_swap()
+    oracle.update_p_cn()
+    oracle.update_p_breakpoint()
+    oracle.update_p_outlier_total()
+    oracle.update_p_outlier_allele()
+    dt = time.time() - t0
+    return oracle.num_segments / dt
 
 
 def main():
     if '--cpu-baseline' in sys.argv:
-        segs = time_sweep(CPU_BASELINE_N, CPU_BASELINE_EVENTS, iters=2)
-        print('CPU_BASELINE {:.3f}'.format(segs), flush=True)
+        spec, params, state, _ = build_problem(
+            CPU_BASELINE_N, CPU_BASELINE_EVENTS)
+        segs = time_single_sweep(spec, params, state, iters=2)
+        print('BASELINE {:.3f}'.format(segs), flush=True)
         return 0
 
-    tpu_segs_per_s = time_sweep(TPU_N, TPU_EVENTS, iters=5)
-    cpu_segs_per_s = run_cpu_baseline()
+    if '--oracle-baseline' in sys.argv:
+        segs = oracle_baseline_segs_per_s()
+        print('BASELINE {:.3f}'.format(segs), flush=True)
+        return 0
+
+    detail = {'N': TPU_N, 'S': 355, 'M': 3, 'K': TPU_EVENTS,
+              'num_restarts': NUM_RESTARTS}
+
+    log('building problem...')
+    model, data = build_model(TPU_N, TPU_EVENTS)
+    spec = model._build_spec(3)
+    # share the compiled spec with model.fit below
+    model.spec = spec
+    model._spec_num_clones = 3
+    params = spec.init_params(
+        data['h'], 1e-7,
+        total_mask=model._total_likelihood_mask.astype(float),
+        allele_mask=model._allele_likelihood_mask.astype(float))
+    state = spec.init_state()
+
+    log('timing single-restart sweep...')
+    detail['single_restart_segments_per_s'] = round(
+        time_single_sweep(spec, params, state), 1)
+
+    log('timing restart-batched sweep (R={})...'.format(NUM_RESTARTS))
+    detail['restart_batched_segments_per_s'] = round(
+        time_restart_batched_sweep(spec, params, state, NUM_RESTARTS), 1)
+
+    log('pallas parity...')
+    parity = pallas_parity(spec, params)
+    if parity is not None:
+        detail['pallas_vs_scan'] = parity
+
+    log('full fit (5 EM x 5 VI)...')
+    detail.update(time_full_fit(model, data))
+
+    log('cpu 1-core engine baseline...')
+    cpu_segs = run_subprocess_baseline('--cpu-baseline')
+    detail['cpu_1core_engine_segments_per_s'] = round(cpu_segs, 1)
+
+    log('cpu 1-core float64 oracle baseline...')
+    try:
+        oracle_segs = run_subprocess_baseline('--oracle-baseline')
+        detail['cpu_1core_f64_oracle_segments_per_s'] = round(oracle_segs, 2)
+    except RuntimeError as exc:
+        log('oracle baseline failed: {}'.format(exc))
+        oracle_segs = None
+
+    with open(os.path.join(REPO, 'BENCH_DETAIL.json'), 'w') as f:
+        json.dump(detail, f, indent=2)
+
+    headline = detail['restart_batched_segments_per_s']
     result = {
         'metric': 'e_step_segments_per_s_per_chip',
-        'value': round(tpu_segs_per_s, 1),
-        'unit': 'segments/s (whole-genome VI sweep, N~6029 S=355 M=3 K=300, 23 chains, f32; '
-                'baseline = same engine on 1 CPU core)',
-        'vs_baseline': round(tpu_segs_per_s / cpu_segs_per_s, 2),
+        'value': headline,
+        'unit': ('segments/s (restart-batched VI sweep, R=12 restarts x '
+                 'N~6029 S=355 M=3 K=300, 23 chains, f32; baseline = same '
+                 'engine 1 CPU core; see BENCH_DETAIL.json for single-restart, '
+                 'full-fit, pallas-parity and f64-oracle-baseline numbers)'),
+        'vs_baseline': round(headline / cpu_segs, 2),
     }
     print(json.dumps(result))
     return 0

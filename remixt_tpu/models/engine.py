@@ -287,6 +287,13 @@ class ModelSpec:
         # remixt_tpu.parallel.chain.enable_chain_sharding
         self.chain_constraint = None
 
+        # optional intra-chain blocking (ops/fb_blocked.py): >1 splits every
+        # chain's position axis into this many blocks, with
+        # block_constraint sharding the block axis over a mesh — set by
+        # remixt_tpu.parallel.chain.enable_block_sharding
+        self.num_chain_blocks = 1
+        self.block_constraint = None
+
         # opt-in Pallas forward-backward kernel (TPU, float32)
         self.use_pallas = False
         self._pallas_plan = None
@@ -574,7 +581,15 @@ def update_p_allele_swap(spec, params, state, ll_alle):
 
 def update_p_cn(spec, params, state, ll_tot, ll_alle):
     frame = _mix_framelogprob(spec, params, state, ll_tot, ll_alle)
-    if spec.use_pallas and spec.chain_constraint is None:
+    if spec.num_chain_blocks > 1:
+        # intra-chain blocked two-pass: a chain can span mesh devices
+        from remixt_tpu.ops import fb_blocked
+        bank = full_bank(spec, state.p_breakpoint)
+        alphas, betas, log_norm = fb_blocked.forward_backward_chains_blocked(
+            frame, bank, spec.chain_bank_idx, spec.chain_seg_map,
+            spec.chain_last, spec.num_chain_blocks,
+            block_constraint=spec.block_constraint)
+    elif spec.use_pallas and spec.chain_constraint is None:
         from remixt_tpu.ops import fb_pallas
         be_bank = breakend_tmats(spec, state.p_breakpoint)
         alphas, betas, log_norm = fb_pallas.forward_backward_chains_pallas(

@@ -41,6 +41,31 @@ def enable_chain_sharding(spec, mesh, axis='chain'):
     return spec
 
 
+def enable_block_sharding(spec, mesh, num_blocks, axis='block'):
+    """Install intra-chain blocked scanning on a ModelSpec.
+
+    Every chain's position axis splits into ``num_blocks`` blocks
+    (ops/fb_blocked.py) and, when a mesh is given, the block axis is
+    sharded over ``mesh[axis]`` — a single chromosome then spans devices,
+    with only the (Q, B, S, S) transfer-matrix stack crossing the mesh.
+    Call with ``mesh=None`` to keep the blocking but drop the constraint,
+    or ``num_blocks=1`` to restore the plain chain-batched scan.
+    """
+    spec.num_chain_blocks = num_blocks
+    if mesh is None or num_blocks <= 1:
+        spec.block_constraint = None
+        return spec
+
+    def constrain(arr, b_axis):
+        pspec = [None] * arr.ndim
+        pspec[b_axis] = axis
+        return jax.lax.with_sharding_constraint(
+            arr, NamedSharding(mesh, P(*pspec)))
+
+    spec.block_constraint = constrain
+    return spec
+
+
 def make_2d_train_step(spec, mesh, restart_axis='restart',
                        chain_axis='chain', h_step=0.0):
     """Jitted training step over a 2D (restart × chain) mesh.
