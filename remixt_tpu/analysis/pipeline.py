@@ -123,17 +123,30 @@ def init(init_results_filename, experiment_filename, config):
 
 
 def fit_task(results_filename, experiment_filename, init_params, config):
-    """Single-restart fit job (parity: reference analysis/pipeline.py:112-124)."""
+    """Single-restart fit job (parity: reference analysis/pipeline.py:112-124).
+
+    A model snapshot is written after every EM iteration next to the
+    results file; a killed job resumes mid-fit from it (reference analog:
+    cn_model.py:286-307 _write_model/_read_model). The snapshot is removed
+    once results are safely on disk.
+    """
+    import os
+
     experiment = _load_pickle(experiment_filename)
-    fit_results = fit(experiment, init_params, config)
+    snapshot_filename = results_filename + '.ckpt'
+    fit_results = fit(experiment, init_params, config,
+                      snapshot_filename=snapshot_filename)
     with open(results_filename, 'wb') as f:
         pickle.dump(fit_results, f)
+    if os.path.exists(snapshot_filename):
+        os.remove(snapshot_filename)
 
 
-def fit(experiment, init_params, config):
+def fit(experiment, init_params, config, snapshot_filename=None):
     """Fit one restart (parity: reference analysis/pipeline.py:127-228)."""
     model = build_model(experiment, init_params, config)
-    return fit_with_model(model, experiment, init_params, config)
+    return fit_with_model(model, experiment, init_params, config,
+                          snapshot_filename=snapshot_filename)
 
 
 def fit_many(experiment, init_params_dict, config):
@@ -209,7 +222,8 @@ def _truth_breakpoint_init(experiment, h_init):
     return truth
 
 
-def fit_with_model(model, experiment, init_params, config):
+def fit_with_model(model, experiment, init_params, config,
+                   snapshot_filename=None):
     """Run one restart on a (possibly shared) model and extract results."""
     h_init = np.array([
         init_params['h_normal'],
@@ -221,7 +235,7 @@ def fit_with_model(model, experiment, init_params, config):
         _truth_breakpoint_init(experiment, h_init)
         if config.get('optimal_initialization', False) else None)
 
-    model.fit(h_init)
+    model.fit(h_init, snapshot_filename=snapshot_filename)
 
     cn, brk_cn = model.optimal_cn()
     if remixt_tpu.config.get_param(config, 'disable_breakpoints'):

@@ -123,6 +123,7 @@ class BreakpointModel:
         self.check_elbo = False
         self.prev_elbo = None
         self.prev_elbo_diff = None
+        self._em_iter = 0
         self.num_em_iter = 1
         self.num_update_iter = 1
 
@@ -226,26 +227,85 @@ class BreakpointModel:
         self.prev_elbo = None
         self.prev_elbo_diff = None
 
-    def fit(self, h_init):
-        """EM × VI fit loop (cn_model.py:354-428)."""
-        h_init = np.asarray(h_init, dtype=float)
-        M = h_init.shape[0]
+    # -- snapshot checkpointing (reference cn_model.py:286-307
+    #    _write_model/_read_model) --------------------------------------------
 
+    def save_snapshot(self, filename):
+        """Write a resumable snapshot: variational state, params, host RNG,
+        and fit-loop progress. Atomic (tmp + rename) so a kill mid-write
+        never leaves a truncated snapshot."""
+        import pickle
+        import jax
+
+        payload = {
+            'params': jax.tree.map(np.asarray, self.params),
+            'state': jax.tree.map(np.asarray, self.state),
+            'rng_state': self._rng.get_state(),
+            'em_iter': self._em_iter,
+            'prev_elbo': self.prev_elbo,
+            'prev_elbo_diff': self.prev_elbo_diff,
+            'num_clones': self._spec_num_clones,
+        }
+        tmp = filename + '.tmp'
+        with open(tmp, 'wb') as f:
+            pickle.dump(payload, f)
+        import os
+        os.replace(tmp, filename)
+
+    def load_snapshot(self, filename):
+        """Restore a snapshot written by save_snapshot; the spec is rebuilt
+        (it is derived from the problem, not part of the snapshot)."""
+        import pickle
+
+        with open(filename, 'rb') as f:
+            payload = pickle.load(f)
+
+        M = payload['num_clones']
         if self.spec is None or getattr(self, '_spec_num_clones', None) != M:
             self.spec = self._build_spec(M)
             self._spec_num_clones = M
-        self.params = self.spec.init_params(
-            h_init, self.divergence_weight,
-            total_mask=self._total_likelihood_mask.astype(float),
-            allele_mask=self._allele_likelihood_mask.astype(float),
-        )
-        self.state = self.spec.init_state(self._init_p_breakpoint())
-        self._rng = np.random.RandomState(self.random_seed)
+        self.params = payload['params']
+        self.state = payload['state']
+        self._rng = np.random.RandomState()
+        self._rng.set_state(payload['rng_state'])
+        self._em_iter = payload['em_iter']
+        self.prev_elbo = payload['prev_elbo']
+        self.prev_elbo_diff = payload['prev_elbo_diff']
+
+    def fit(self, h_init, snapshot_filename=None):
+        """EM × VI fit loop (cn_model.py:354-428).
+
+        With ``snapshot_filename``, a snapshot is written after every EM
+        iteration and, if the file already exists, the fit resumes from it
+        mid-grid instead of restarting — byte-identical to an
+        uninterrupted run (the host RNG state rides the snapshot).
+        """
+        import os
+
+        h_init = np.asarray(h_init, dtype=float)
+        M = h_init.shape[0]
+
+        if snapshot_filename is not None and os.path.exists(snapshot_filename):
+            self.load_snapshot(snapshot_filename)
+            logger.info('resumed from snapshot at EM iteration %d',
+                        self._em_iter)
+        else:
+            if self.spec is None or getattr(self, '_spec_num_clones', None) != M:
+                self.spec = self._build_spec(M)
+                self._spec_num_clones = M
+            self.params = self.spec.init_params(
+                h_init, self.divergence_weight,
+                total_mask=self._total_likelihood_mask.astype(float),
+                allele_mask=self._allele_likelihood_mask.astype(float),
+            )
+            self.state = self.spec.init_state(self._init_p_breakpoint())
+            self._rng = np.random.RandomState(self.random_seed)
+            self._em_iter = 0
 
         if self.prev_elbo is None:
             self.prev_elbo = float(self.spec.elbo(self.params, self.state))
 
-        for i in range(self.num_em_iter):
+        while self._em_iter < self.num_em_iter:
             for j in range(self.num_update_iter):
                 self.variational_update()
 
@@ -257,13 +317,17 @@ class BreakpointModel:
             elbo = float(self.spec.elbo(self.params, self.state))
             self.prev_elbo_diff = elbo - self.prev_elbo
             self.prev_elbo = elbo
+            self._em_iter += 1
 
-            logger.info('completed iteration %d', i)
+            logger.info('completed iteration %d', self._em_iter - 1)
             logger.info('    elbo: %.10f', self.prev_elbo)
             logger.info('    elbo diff: %.10f', self.prev_elbo_diff)
             logger.info('    h = %s', np.asarray(self.params.h))
             for name, value in self.get_likelihood_param_values().items():
                 logger.info('    %s = %s', name, value)
+
+            if snapshot_filename is not None:
+                self.save_snapshot(snapshot_filename)
 
     def _elbo_guard(self, name, fn, threshold=-1e-6):
         """Optional per-update ELBO decrease check (cn_model.py:430-442)."""

@@ -1,15 +1,50 @@
-"""External competitor tool wrappers: TITAN, THetA, CloneHD.
+"""External competitor tools (TITAN, THetA2, cloneHD) as benchmark wrappers.
 
-The reference ships Python-2-era wrappers driving these tools' binaries and
-R scripts (wrappers/wraptitan.py, wraptheta.py, wrapclonehd.py — flagged
-stale in SURVEY.md §2). These wrappers keep the catalog interface: each
-builds a workflow that (1) exports seqdata to the tool's input format,
-(2) shells out to the tool, (3) converts its output into the common results
-schema. Steps (2)-(3) require the external tool installations and raise an
-informative error when the binaries are missing.
+Each tool class wires its real input-preparation and result-conversion
+steps (wraptitan.py / wraptheta.py / wrapclonehd.py — self-contained,
+tested without the tools) around a subprocess execution stage through the
+scheduler, and lands results in the common store schema
+(``/cn`` table + ``/mix`` series) consumed by the evaluation suite
+(simulations/pipeline.evaluate_results_task).
+
+The execution stage needs the external installations; tool locations come
+from the config dict under the tool's name, e.g.::
+
+    titan:
+      run_script: /path/to/titan_run.R
+    theta:
+      bin: /path/to/RunTHetA
+      octave_bin_directory: /path/to/theta/matlab
+    clonehd:
+      filterhd_bin: /path/to/filterHD
+      clonehd_bin: /path/to/cloneHD
+
+``check_available`` raises an informative error when binaries are missing
+(the reference's wrappers are Python-2 stale and unrunnable — SURVEY §2.2;
+these reimplement the same tool protocols).
 """
 
+import os
 import shutil
+
+import pandas as pd
+
+import remixt_tpu.config
+from remixt_tpu.scheduler import Workflow
+from remixt_tpu.io.hdf5 import HDFStore
+
+
+def _write_results_store(results_filename, cn_filename, mix_filename):
+    """Pack a tool's cn/mix TSV outputs into the common results store."""
+    cn_table = pd.read_csv(cn_filename, sep='\t',
+                           converters={'chromosome': str})
+    with open(mix_filename) as f:
+        mix = [float(v) for v in f.read().split()]
+    with HDFStore(results_filename, 'w') as store:
+        store['/cn'] = cn_table
+        store['/mix'] = pd.Series(mix, index=range(len(mix)))
+        store['/brk_cn'] = pd.DataFrame(
+            columns=['prediction_id', 'cn_1', 'cn_2'])
 
 
 class ExternalTool(object):
@@ -19,35 +54,156 @@ class ExternalTool(object):
     def __init__(self, config, ref_data_dir):
         self.config = config
         self.ref_data_dir = ref_data_dir
+        self.tool_config = config.get(self.name, {})
 
     def check_available(self):
-        missing = [b for b in self.required_binaries if shutil.which(b) is None]
+        missing = [b for b in self.required_binaries
+                   if shutil.which(b) is None]
         if missing:
             raise RuntimeError(
-                '{} requires binaries not on PATH: {}. Install the tool (see '
-                'benchmark/tool_defs.yaml) to include it in comparisons.'
-                .format(self.name, ', '.join(missing)))
+                '{} requires binaries not on PATH: {}. Install the tool '
+                '(see benchmark/tool_defs.yaml) to include it in '
+                'comparisons.'.format(self.name, ', '.join(missing)))
+
+    def chromosome_lengths(self):
+        return remixt_tpu.config.get_chromosome_lengths(
+            self.config, self.ref_data_dir)
 
     def create_workflow(self, seqdata_filenames, breakpoints_filename,
                         results_filename, workdir, normal_id=None):
         self.check_available()
-        raise NotImplementedError(
-            '{} execution requires its external installation; this framework '
-            'ships the catalog interface and input/output conversion only '
-            '(reference wrappers are Python-2 stale — SURVEY.md §2.2)'
-            .format(self.name))
+        os.makedirs(workdir, exist_ok=True)
+        normal = seqdata_filenames[normal_id]
+        tumours = {k: v for k, v in seqdata_filenames.items()
+                   if k != normal_id}
+        if len(tumours) != 1:
+            raise ValueError(
+                '{} supports exactly one tumour sample'.format(self.name))
+        (tumour,) = tumours.values()
+
+        workflow = Workflow('{}_analysis'.format(self.name))
+        self._add_stages(workflow, normal, tumour, results_filename, workdir)
+        return workflow
+
+    # subclasses add prepare/run/report transforms
+    def _add_stages(self, workflow, normal, tumour, results_filename,
+                    workdir):
+        raise NotImplementedError
 
 
 class TitanTool(ExternalTool):
     name = 'titan'
-    required_binaries = ('R',)
+    required_binaries = ('Rscript',)
+
+    #: (num_clusters, ploidy_init, normal_init) restart grid
+    restarts = [(1, 2.0, 0.5), (2, 2.0, 0.5), (1, 4.0, 0.5), (2, 4.0, 0.5)]
+
+    def _add_stages(self, workflow, normal, tumour, results_filename,
+                    workdir):
+        from remixt_tpu.wrappers import wraptitan
+
+        def prepare():
+            wraptitan.prepare_inputs(
+                workdir, normal, tumour, self.chromosome_lengths())
+
+        def run_all():
+            for idx, (clusters, ploidy, frac_normal) in enumerate(
+                    self.restarts):
+                wraptitan.run(
+                    workdir, self.tool_config['run_script'],
+                    clusters, ploidy, frac_normal, 'restart_{}'.format(idx))
+
+        def report():
+            restart_dirs = {
+                idx: os.path.join(workdir, 'restart_{}'.format(idx))
+                for idx in range(len(self.restarts))}
+            clusters = {idx: r[0] for idx, r in enumerate(self.restarts)}
+            cn_tsv = os.path.join(workdir, 'cn.tsv')
+            mix_tsv = os.path.join(workdir, 'mix.tsv')
+            wraptitan.report(restart_dirs, cn_tsv, mix_tsv, clusters)
+            _write_results_store(results_filename, cn_tsv, mix_tsv)
+
+        alleles = os.path.join(workdir, 'alleles.tsv')
+        done = os.path.join(workdir, 'run.done')
+        workflow.transform('prepare', prepare, outputs=[alleles])
+        workflow.transform('run', lambda: (run_all(), open(done, 'w').close()),
+                           inputs=[alleles], outputs=[done])
+        workflow.transform('report', report, inputs=[done],
+                           outputs=[results_filename])
 
 
 class ThetaTool(ExternalTool):
     name = 'theta'
-    required_binaries = ('RunTHetA',)
+    required_binaries = ('octave',)
+
+    def _add_stages(self, workflow, normal, tumour, results_filename,
+                    workdir):
+        from remixt_tpu.wrappers import wraptheta
+
+        segments_filename = self.tool_config.get('segments_filename')
+        counts = os.path.join(workdir, 'counts.tsv')
+        done = os.path.join(workdir, 'run.done')
+        chrom_names_file = os.path.join(workdir, 'chrom_names.tsv')
+
+        def prepare():
+            segments = pd.read_csv(segments_filename, sep='\t',
+                                   converters={'chromosome': str})
+            paths = wraptheta.prepare_inputs(
+                workdir, normal, tumour, segments)
+            pd.Series(paths['chrom_idx']).rename('idx').rename_axis(
+                'chromosome').reset_index().to_csv(
+                    chrom_names_file, sep='\t', index=False)
+
+        def run():
+            wraptheta.run(workdir, self.tool_config['bin'],
+                          self.tool_config['octave_bin_directory'])
+            open(done, 'w').close()
+
+        def report():
+            mapping = pd.read_csv(chrom_names_file, sep='\t',
+                                  converters={'chromosome': str})
+            chrom_names = dict(zip(mapping['idx'], mapping['chromosome']))
+            cn_tsv = os.path.join(workdir, 'cn.tsv')
+            mix_tsv = os.path.join(workdir, 'mix.tsv')
+            wraptheta.report(workdir, cn_tsv, mix_tsv, chrom_names)
+            _write_results_store(results_filename, cn_tsv, mix_tsv)
+
+        workflow.transform('prepare', prepare,
+                           outputs=[counts, chrom_names_file])
+        workflow.transform('run', run, inputs=[counts], outputs=[done])
+        workflow.transform('report', report, inputs=[done],
+                           outputs=[results_filename])
 
 
 class CloneHDTool(ExternalTool):
     name = 'clonehd'
     required_binaries = ('filterHD', 'cloneHD')
+
+    def _add_stages(self, workflow, normal, tumour, results_filename,
+                    workdir):
+        from remixt_tpu.wrappers import wrapclonehd
+
+        baf = os.path.join(workdir, 'tumour.baf.txt')
+        done = os.path.join(workdir, 'run.done')
+
+        def prepare():
+            wrapclonehd.prepare_inputs(
+                workdir, normal, tumour, self.chromosome_lengths())
+
+        def run():
+            wrapclonehd.run(
+                workdir,
+                self.tool_config.get('filterhd_bin', 'filterHD'),
+                self.tool_config.get('clonehd_bin', 'cloneHD'))
+            open(done, 'w').close()
+
+        def report():
+            cn_tsv = os.path.join(workdir, 'cn.tsv')
+            mix_tsv = os.path.join(workdir, 'mix.tsv')
+            wrapclonehd.report(workdir, cn_tsv, mix_tsv)
+            _write_results_store(results_filename, cn_tsv, mix_tsv)
+
+        workflow.transform('prepare', prepare, outputs=[baf])
+        workflow.transform('run', run, inputs=[baf], outputs=[done])
+        workflow.transform('report', report, inputs=[done],
+                           outputs=[results_filename])

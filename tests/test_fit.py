@@ -124,3 +124,45 @@ def test_breakpoint_copy_number_recovery(sim_data):
         if np.all(pred[1:] == truth[1:]):
             n_correct += 1
     assert n_correct / n_total > 0.5, f'{n_correct}/{n_total} breakpoints correct'
+
+
+def test_snapshot_resume_identical(sim_data, tmp_path):
+    """A fit killed after EM iteration 1 and resumed from its snapshot must
+    reach results identical to an uninterrupted fit (the host RNG state
+    rides the snapshot). Reference analog: cn_model.py:286-307
+    _write_model/_read_model."""
+    data = sim_data
+    h_init = data['h'] * np.array([1.05, 0.95, 1.02])
+
+    # uninterrupted reference run: 3 EM iterations
+    model_ref = make_model(data)
+    model_ref.num_em_iter = 3
+    model_ref.num_update_iter = 2
+    model_ref.fit(h_init)
+    cn_ref, brk_ref = model_ref.optimal_cn()
+
+    # "killed" run: only 1 EM iteration completes, snapshot written
+    snapshot = str(tmp_path / 'fit.ckpt')
+    model_a = make_model(data)
+    model_a.num_em_iter = 1
+    model_a.num_update_iter = 2
+    model_a.fit(h_init, snapshot_filename=snapshot)
+    assert (tmp_path / 'fit.ckpt').exists()
+
+    # fresh process stand-in: a new model resumes from the snapshot and
+    # finishes the remaining iterations
+    model_b = make_model(data)
+    model_b.num_em_iter = 3
+    model_b.num_update_iter = 2
+    model_b.fit(h_init, snapshot_filename=snapshot)
+
+    np.testing.assert_allclose(model_b.h, model_ref.h, rtol=0, atol=0)
+    np.testing.assert_array_equal(
+        np.asarray(model_b.state.posterior_marginals),
+        np.asarray(model_ref.state.posterior_marginals))
+    assert model_b.prev_elbo == model_ref.prev_elbo
+    cn_b, brk_b = model_b.optimal_cn()
+    np.testing.assert_array_equal(cn_b, cn_ref)
+    assert set(brk_b.keys()) == set(brk_ref.keys())
+    for k in brk_b:
+        np.testing.assert_array_equal(brk_b[k], brk_ref[k])

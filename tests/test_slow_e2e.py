@@ -1,0 +1,98 @@
+"""Nightly-tier end-to-end accuracy test with a realistic EM budget.
+
+The fast-tier e2e tests (test_pipeline.py, test_fit.py) use tiny EM budgets
+and correspondingly lenient thresholds; this tier runs the production
+budget (5 EM x 5 VI, the reference defaults.py:154-157) over the full
+restart machinery at reduced N and holds the pipeline to reference-level
+accuracy: >= 90% length-weighted dominant-clone copy-number recovery.
+
+Run with: python -m pytest tests/ -m slow  (about 10-20 min on CPU)
+"""
+
+import numpy as np
+import pytest
+
+import remixt_tpu.analysis.pipeline as pipeline_mod
+import remixt_tpu.simulations.genome as sim_genome
+import remixt_tpu.simulations.pipeline as sim_pipeline
+
+
+pytestmark = pytest.mark.slow
+
+
+SIM_PARAMS = dict(
+    N=500, M=3,
+    h_total=0.1,
+    frac_normal=0.4, frac_clone_1=0.4,
+    num_false_breakpoints=10,
+    proportion_breakpoints_detected=0.9,
+    num_ancestral_events=40, num_descendent_events=15,
+    genome_length=3e8, num_chromosomes=8, seg_length_min=10000,
+    ploidy=2.5, ploidy_max_error=0.6,
+    proportion_loh=0.15, proportion_loh_max_error=0.2,
+    proportion_subclonal=0.2, proportion_subclonal_max_error=0.15,
+    proportion_subclonal_stddev=0.05,
+    ploidy_stddev=0.3, proportion_loh_stddev=0.05,
+    num_swarm=50,
+    random_seed=1234,
+)
+
+
+def test_full_budget_recovery():
+    np.random.seed(SIM_PARAMS['random_seed'])
+    history = sim_genome.RearrangementHistorySampler(SIM_PARAMS)
+    collection = sim_genome.GenomeCollectionSampler(
+        history, SIM_PARAMS).sample_genome_collection()
+    mixture = sim_genome.GenomeMixtureSampler(
+        SIM_PARAMS).sample_genome_mixture(collection)
+    experiment = sim_genome.ExperimentSampler(
+        SIM_PARAMS).sample_experiment(mixture)
+
+    # full production budget and restart grid (defaults: 5 EM x 5 VI,
+    # 4 mix fractions x 3 divergence weights x depth modes)
+    config = {}
+
+    import pickle, tempfile, os
+    with tempfile.TemporaryDirectory() as tmpdir:
+        exp_file = os.path.join(tmpdir, 'experiment.pickle')
+        init_file = os.path.join(tmpdir, 'init.h5')
+        with open(exp_file, 'wb') as f:
+            pickle.dump(experiment, f)
+        init_params = pipeline_mod.init(init_file, exp_file, config)
+        results = pipeline_mod.fit_many(experiment, init_params, config)
+
+    # model selection: best elbo after the divergence filter
+    import pandas as pd
+    stats = pd.DataFrame([
+        dict(r['stats'], init_id=i) for i, r in results.items()])
+    candidates = stats[stats['proportion_divergent'] < 0.5]
+    if len(candidates.index) == 0:
+        candidates = stats
+    best = results[candidates.loc[candidates['elbo'].idxmax(), 'init_id']]
+
+    cn, brk_cn = best['cn'], best['brk_cn']
+    h = best['h']
+
+    cn_table = pd.DataFrame({
+        'chromosome': experiment.segment_chromosome_id,
+        'start': experiment.segment_start,
+        'end': experiment.segment_end,
+        'major_1': cn[:, 1, 0], 'minor_1': cn[:, 1, 1],
+        'major_2': cn[:, 2, 0], 'minor_2': cn[:, 2, 1],
+    })
+    rows = []
+    for pid, bp_cn in brk_cn.items():
+        rows.append({'prediction_id': pid,
+                     'cn_1': bp_cn[1], 'cn_2': bp_cn[2]})
+    brk_cn_table = pd.DataFrame(rows)
+
+    evaluation = sim_pipeline.evaluate_results(
+        mixture, cn_table, brk_cn_table, h / h.sum())
+
+    cn_eval = evaluation['cn_evaluation']
+    assert cn_eval['proportion_dom_cn_correct'] >= 0.9, dict(cn_eval)
+    # mixture fraction recovery within 0.05 absolute per clone
+    mix = evaluation['mix_results']
+    for m in range(3):
+        assert abs(mix['mix_true_%d' % m] - mix['mix_pred_%d' % m]) < 0.07, (
+            dict(mix))
