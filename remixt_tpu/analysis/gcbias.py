@@ -207,11 +207,12 @@ def read_mappability_indicator(mappability_filename, chromosome,
         quality = group['quality'][()]
 
     keep = quality >= map_qual_threshold
-    mappability = np.zeros(max_chromosome_length, dtype=np.uint8)
-    for s, e in zip(start[keep], end[keep]):
-        e = min(e, max_chromosome_length)
-        mappability[s:e] = 1
-    return mappability
+    # difference-array interval fill: +1 at starts, -1 at ends, positive
+    # running sum marks covered positions
+    delta = np.zeros(max_chromosome_length + 1, dtype=np.int64)
+    np.add.at(delta, np.minimum(start[keep], max_chromosome_length), 1)
+    np.add.at(delta, np.minimum(end[keep], max_chromosome_length), -1)
+    return (np.cumsum(delta[:-1]) > 0).astype(np.uint8)
 
 
 def read_gc_cumsum(genome_fasta, chromosome):
@@ -293,40 +294,47 @@ def calculate_gc_map_bias(segments, fragment_mean, fragment_stddev,
     return segments
 
 
+def _fragment_start_probabilities(gc_cumsum, mappability, gc_dist,
+                                  fragment_length, position_offset,
+                                  read_length, do_gc, do_map):
+    """Per-start-position generation probability for one fragment length:
+    GC-curve weight of the trimmed fragment window times the mappability of
+    both read placements."""
+    n_starts = gc_cumsum.shape[0] - fragment_length
+    prob = np.ones(n_starts)
+
+    if do_gc:
+        window = fragment_length - 2 * position_offset
+        window_gc = (
+            gc_cumsum[fragment_length - position_offset:-position_offset]
+            - gc_cumsum[position_offset:-fragment_length + position_offset])
+        prob = prob * gc_dist.table(window)[window_gc]
+
+    if do_map:
+        mate_offset = fragment_length - read_length
+        prob = prob * (mappability[:-fragment_length]
+                       * mappability[mate_offset:-read_length])
+
+    return prob
+
+
 def calculate_segment_gc_map_bias(gc_cumsum, mappability, gc_dist,
                                   fragment_dist, fragment_min, fragment_max,
                                   fragment_step, position_offset, read_length,
                                   do_gc=True, do_map=True):
-    """Integral over fragment lengths of per-position generation probability
-    (gcbias.py:262-302)."""
+    """Expected read-generation bias of one segment: the integral over the
+    fragment-length distribution of summed per-position probabilities
+    (parity: reference gcbias.py:262-302)."""
     bias = 0.
-
-    for fragment_length in range(fragment_min, fragment_max + 1, fragment_step):
-        if fragment_length < read_length:
+    for fragment_length in range(fragment_min, fragment_max + 1,
+                                 fragment_step):
+        if fragment_length < read_length or (
+                fragment_length >= gc_cumsum.shape[0]):
             continue
-        if fragment_length >= gc_cumsum.shape[0]:
-            continue
-
-        gc_sum = (gc_cumsum[fragment_length - position_offset:-position_offset]
-                  - gc_cumsum[position_offset:-fragment_length + position_offset])
-        gc_length = fragment_length - 2 * position_offset
-
-        gc_table = gc_dist.table(gc_length)
-        gc_prob = gc_table[gc_sum]
-
-        mate_position = fragment_length - read_length
-        map_prob = mappability[:-fragment_length] * mappability[mate_position:-read_length]
-
-        len_prob = fragment_dist.pdf(fragment_length)
-
-        if not do_gc:
-            gc_prob = np.ones(gc_prob.shape)
-        if not do_map:
-            map_prob = np.ones(map_prob.shape)
-
-        prob = len_prob * gc_prob * map_prob
-        bias += prob.sum()
-
+        start_probs = _fragment_start_probabilities(
+            gc_cumsum, mappability, gc_dist, fragment_length,
+            position_offset, read_length, do_gc, do_map)
+        bias += fragment_dist.pdf(fragment_length) * start_probs.sum()
     return bias
 
 

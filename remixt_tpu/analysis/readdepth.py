@@ -1,104 +1,114 @@
 """Fit initialization machinery: read-depth modes and candidate haploid depths.
 
-Mirrors /root/reference/remixt/analysis/readdepth.py:12-147 — depth table,
-k-means modes of the minor-allele depth distribution, candidate monoclonal
-haploid depths, ploidy estimation.
+Capability parity with the reference init machinery
+(/root/reference/remixt/analysis/readdepth.py:12-147): a per-segment depth
+table restricted to usable segments, k-means modes of the length-weighted
+minor-allele depth distribution, candidate monoclonal (normal, tumour)
+haploid depth pairs, and a raw-copy-number ploidy estimate per candidate.
 """
 
 import numpy as np
-
 import sklearn.cluster
 
-import remixt_tpu.utils
 import remixt_tpu.likelihood
-import remixt_tpu.analysis.experiment
+import remixt_tpu.utils
 
 
 def calculate_depth(experiment):
-    """Minor/major/total depth table for high-quality segments
-    (readdepth.py:12-57)."""
-    data = remixt_tpu.analysis.experiment.create_segment_table(experiment)
+    """Depth table: minor/major/total depth per segment with a
+    ``high_quality`` indicator.
 
-    data['segment_length'] = data['end'] - data['start'] + 1
-    data['length_ratio'] = data['length'] / data['segment_length']
-    data['allele_readcount'] = data['minor_readcount'] + data['major_readcount']
+    A segment is high quality when its effective length, genotypable read
+    count, and effective-to-genomic length ratio each clear the 10th
+    percentile; rows where depths are undefined (zero effective length or
+    zero genotypable proportion) are dropped.
+    """
+    x = np.asarray(experiment.x, dtype=float)
+    l = np.asarray(experiment.l, dtype=float)
+    genomic_span = (np.asarray(experiment.segment_end)
+                    - np.asarray(experiment.segment_start) + 1)
 
-    data['high_quality'] = (
-        (data['length'] > np.percentile(data['length'].values, 10)) &
-        (data['allele_readcount'] > np.percentile(data['allele_readcount'].values, 10)) &
-        (data['length_ratio'] > np.percentile(data['length_ratio'].values, 10)))
+    with np.errstate(invalid='ignore', divide='ignore'):
+        allele_ratio = np.nan_to_num(x[:, 1] / (x[:, 0] + x[:, 1]))
+        total = x[:, 2] / l
+    minor = total * allele_ratio
+    major = total * (1.0 - allele_ratio)
 
-    phi = remixt_tpu.likelihood.estimate_phi(experiment.x)
-    p = remixt_tpu.likelihood.proportion_measureable_matrix(phi)
+    quality_scores = {
+        'length': l,
+        'allele_readcount': x[:, 0] + x[:, 1],
+        'length_ratio': l / genomic_span,
+    }
+    high_quality = np.ones(len(l), dtype=bool)
+    for score in quality_scores.values():
+        high_quality &= score > np.percentile(score, 10)
 
-    # filter segments for which depth calculation would be nan/inf
-    data = data[(data['length'] > 0) & np.all(p > 0, axis=1)]
+    phi = remixt_tpu.likelihood.estimate_phi(x)
+    measurable = remixt_tpu.likelihood.proportion_measureable_matrix(phi)
+    defined = (l > 0) & np.all(measurable > 0, axis=1)
 
-    data.rename(columns={
-        'major_depth': 'major',
-        'minor_depth': 'minor',
-        'total_depth': 'total',
-    }, inplace=True)
-
-    return data[[
-        'chromosome', 'start', 'end', 'length',
-        'major', 'minor', 'total', 'high_quality',
-    ]]
+    import pandas as pd
+    table = pd.DataFrame({
+        'chromosome': experiment.segment_chromosome_id,
+        'start': experiment.segment_start,
+        'end': experiment.segment_end,
+        'length': l,
+        'major': major,
+        'minor': minor,
+        'total': total,
+        'high_quality': high_quality,
+    })
+    return table[defined]
 
 
 def calculate_minor_modes(read_depth, num_clusters=5, min_cluster_prop=0.01):
-    """K-means modes of the minor-allele depth distribution
-    (readdepth.py:60-87)."""
-    amp_rd = np.percentile(read_depth['minor'], 95)
-    read_depth = read_depth[read_depth['minor'] < amp_rd]
+    """Modes of the length-weighted minor-allele depth distribution.
 
-    rd_samples = remixt_tpu.utils.weighted_resample(
-        read_depth['minor'].values, read_depth['length'].values)
-    kmm = sklearn.cluster.KMeans(n_clusters=num_clusters, n_init=10)
-    kmm.fit(rd_samples.reshape((rd_samples.size, 1)))
-    means = kmm.cluster_centers_[:, 0]
+    Depths above the 95th percentile (amplifications) are excluded, the
+    remainder resampled proportional to segment length, clustered with
+    k-means, and clusters holding under ``min_cluster_prop`` of the mass
+    discarded.
+    """
+    minor = read_depth['minor'].values
+    keep = minor < np.percentile(minor, 95)
+    samples = remixt_tpu.utils.weighted_resample(
+        minor[keep], read_depth['length'].values[keep])[:, None]
 
-    cluster_idx = kmm.predict(rd_samples.reshape((rd_samples.size, 1)))
-    cluster_counts = np.bincount(cluster_idx)
-    cluster_prop = cluster_counts.astype(float) / cluster_counts.sum()
-    means = means[cluster_prop >= min_cluster_prop]
+    kmeans = sklearn.cluster.KMeans(n_clusters=num_clusters, n_init=10)
+    assignment = kmeans.fit_predict(samples)
+    proportion = np.bincount(
+        assignment, minlength=num_clusters) / float(len(assignment))
+    return kmeans.cluster_centers_[proportion >= min_cluster_prop, 0]
 
-    return means
 
+def calculate_candidate_h_monoclonal(minor_modes, h_normal=None,
+                                     h_tumour=None):
+    """Candidate (normal, tumour) haploid depth pairs.
 
-def calculate_candidate_h_monoclonal(minor_modes, h_normal=None, h_tumour=None):
-    """Candidate (normal, tumour) haploid depth pairs from minor modes
-    (readdepth.py:90-124)."""
+    The smallest mode is taken as the normal depth unless given; every
+    higher mode yields two tumour-depth candidates — the mode offset
+    itself, and half of it (the mode may correspond to two minor copies).
+    """
     minor_modes = np.asarray(minor_modes)
-
     if h_normal is None:
         h_normal = minor_modes.min()
-
     if h_tumour is not None:
         return np.array([[h_normal, h_tumour]])
 
-    h_candidates = []
-    for h_t in minor_modes:
-        if h_t <= h_normal:
-            continue
-        h_t = h_t - h_normal
-
-        # the first minor mode may represent 2 minor copies
-        for scale in (1., 0.5):
-            h_candidates.append(np.array([h_normal, h_t * scale]))
-
-    return h_candidates
+    offsets = minor_modes[minor_modes > h_normal] - h_normal
+    return [np.array([h_normal, offset * scale])
+            for offset in offsets
+            for scale in (1.0, 0.5)]
 
 
 def estimate_ploidy(h, experiment):
-    """Length-weighted mean total raw copy number for a candidate h
-    (readdepth.py:127-147)."""
-    read_depth = calculate_depth(experiment)
+    """Length-weighted mean total raw copy number under candidate ``h``."""
+    depth = calculate_depth(experiment)
+    h = np.asarray(h, dtype=float)
 
-    major_raw = (read_depth['major'] - h[0]) / h[1:].sum()
-    minor_raw = (read_depth['minor'] - h[0]) / h[1:].sum()
-
-    data = read_depth.assign(major_raw=major_raw, minor_raw=minor_raw)
-    data = data.replace(np.inf, np.nan).dropna()
-    major, minor, length = data[['major_raw', 'minor_raw', 'length']].values.T
-    return ((major + minor) * length).sum() / length.sum()
+    raw_total = (depth['major'].values + depth['minor'].values
+                 - 2.0 * h[0]) / h[1:].sum()
+    length = depth['length'].values
+    finite = np.isfinite(raw_total)
+    return float((raw_total[finite] * length[finite]).sum()
+                 / length[finite].sum())

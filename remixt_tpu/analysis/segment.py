@@ -1,9 +1,14 @@
 """Segmentation and segment read counting.
 
-Mirrors /root/reference/remixt/analysis/segment.py:10-253 — regular-grid
-segmentation with gap boundaries and breakend changepoints, per-chromosome
-fragment counting via interval containment, and the merge of haplotype-block
-allele counts into the final count table.
+Capability parity with the reference segmentation layer
+(/root/reference/remixt/analysis/segment.py:10-253): a regular-grid
+segmentation augmented with assembly-gap boundaries and predicted
+breakends, fragment counting by interval containment, and the merge of
+haplotype-block allele counts into the final count table.
+
+Changepoint assembly, pairing, and gap filtering here are vectorized —
+stacked coded (chromosome, position) arrays, shift-based pairing, and a
+cummax interval merge — rather than per-row loops.
 """
 
 import numpy as np
@@ -18,36 +23,75 @@ GAP_TABLE_COLUMNS = [
 ]
 
 
-def create_segments(segment_filename, config, ref_data_dir, breakpoint_filename=None):
-    """Write the segmentation TSV: regular grid + gap boundaries + breakends
-    (segment.py:10-121)."""
+def _check_chr_prefix(series, chr_name_prefix):
+    if chr_name_prefix == 'chr':
+        assert series.str.startswith('chr').all()
+    elif chr_name_prefix == '':
+        assert not series.str.startswith('chr').any()
+    else:
+        raise ValueError(
+            'unrecognized chr_name_prefix {}'.format(chr_name_prefix))
+
+
+def _merge_intervals(starts, ends):
+    """Union of possibly-overlapping [start, end) intervals, as two sorted
+    arrays (classic sort + running-max sweep)."""
+    order = np.argsort(starts, kind='stable')
+    starts, ends = starts[order], np.maximum.accumulate(ends[order])
+    new_run = np.concatenate(([True], starts[1:] > ends[:-1]))
+    merged_starts = starts[new_run]
+    merged_ends = np.maximum.reduceat(ends, np.flatnonzero(new_run))
+    return merged_starts, merged_ends
+
+
+def assemble_changepoints(chromosomes, chromosome_lengths, segment_length,
+                          gap_table, breakpoints=None):
+    """All changepoint (chromosome, position) pairs: the regular grid plus
+    chromosome ends, gap boundaries, and breakend positions."""
+    parts = []
+    for chromosome in chromosomes:
+        length = int(chromosome_lengths[chromosome])
+        grid = np.arange(0, length, segment_length, dtype=np.int64)
+        parts.append(pd.DataFrame({
+            'chromosome': chromosome,
+            'position': np.concatenate([grid, [length]]),
+        }))
+
+    parts.append(pd.DataFrame({
+        'chromosome': np.repeat(gap_table['chromosome'].values, 2),
+        'position': gap_table[['start', 'end']].values.reshape(-1),
+    }))
+
+    if breakpoints is not None:
+        parts.append(pd.DataFrame({
+            'chromosome': np.concatenate([
+                breakpoints['chromosome_1'].values,
+                breakpoints['chromosome_2'].values]),
+            'position': np.concatenate([
+                breakpoints['position_1'].values,
+                breakpoints['position_2'].values]),
+        }))
+
+    return pd.concat(parts, ignore_index=True)
+
+
+def create_segments(segment_filename, config, ref_data_dir,
+                    breakpoint_filename=None):
+    """Write the segmentation TSV (regular grid + gaps + breakends)."""
     segment_length = remixt_tpu.config.get_param(config, 'segment_length')
     chromosomes = remixt_tpu.config.get_chromosomes(config, ref_data_dir)
-    chromosome_lengths = remixt_tpu.config.get_chromosome_lengths(config, ref_data_dir)
-    gap_table_filename = remixt_tpu.config.get_filename(config, ref_data_dir, 'gap_table')
+    chromosome_lengths = remixt_tpu.config.get_chromosome_lengths(
+        config, ref_data_dir)
+    gap_table_filename = remixt_tpu.config.get_filename(
+        config, ref_data_dir, 'gap_table')
     chr_name_prefix = remixt_tpu.config.get_param(config, 'chr_name_prefix')
 
     gap_table = pd.read_csv(
         gap_table_filename, sep='\t', compression='gzip', header=None,
         names=GAP_TABLE_COLUMNS, converters={'chromosome': str})
-
     _check_chr_prefix(gap_table['chromosome'], chr_name_prefix)
 
-    changepoints = []
-
-    # regular grid
-    for chromosome in chromosomes:
-        length = chromosome_lengths[chromosome]
-        for position in np.arange(0, length, segment_length, dtype=int):
-            changepoints.append((chromosome, position))
-        changepoints.append((chromosome, length))
-
-    # gap boundaries
-    for idx in gap_table.index:
-        changepoints.append((gap_table.loc[idx, 'chromosome'], gap_table.loc[idx, 'start']))
-        changepoints.append((gap_table.loc[idx, 'chromosome'], gap_table.loc[idx, 'end']))
-
-    # breakends
+    breakpoints = None
     if breakpoint_filename is not None:
         breakpoints = pd.read_csv(
             breakpoint_filename, sep='\t',
@@ -56,116 +100,93 @@ def create_segments(segment_filename, config, ref_data_dir, breakpoint_filename=
         _check_chr_prefix(breakpoints['chromosome_1'], chr_name_prefix)
         _check_chr_prefix(breakpoints['chromosome_2'], chr_name_prefix)
 
-        for _, row in breakpoints.iterrows():
-            changepoints.append((row['chromosome_1'], row['position_1']))
-            changepoints.append((row['chromosome_2'], row['position_2']))
+    changepoints = assemble_changepoints(
+        chromosomes, chromosome_lengths, segment_length, gap_table,
+        breakpoints)
 
-    changepoints = pd.DataFrame(changepoints, columns=['chromosome', 'position'])
-    changepoints.sort_values(['chromosome', 'position'], inplace=True)
-
-    # segments between successive changepoints
-    segments = []
-    for chromosome, chrom_changepoints in changepoints.groupby('chromosome'):
-        chrom_segments = pd.DataFrame({
-            'start': chrom_changepoints['position'].values[:-1],
-            'end': chrom_changepoints['position'].values[1:],
-        })
-        chrom_segments['chromosome'] = chromosome
-        segments.append(chrom_segments)
-    segments = pd.concat(segments, ignore_index=True)
-
-    # drop segments inside gaps
-    segments['gap'] = False
-    for idx in gap_table.index:
-        segments.loc[
-            (segments['chromosome'] == gap_table.loc[idx, 'chromosome']) &
-            (segments['start'] >= gap_table.loc[idx, 'start']) &
-            (segments['start'] < gap_table.loc[idx, 'end']),
-            'gap'
-        ] = True
-    segments = segments[~segments['gap']]
-
-    # drop zero-length segments
+    # pair successive changepoints within each chromosome (shift-based)
+    changepoints = changepoints.sort_values(
+        ['chromosome', 'position'], kind='stable')
+    same_chrom = (changepoints['chromosome'].values[:-1]
+                  == changepoints['chromosome'].values[1:])
+    segments = pd.DataFrame({
+        'chromosome': changepoints['chromosome'].values[:-1][same_chrom],
+        'start': changepoints['position'].values[:-1][same_chrom],
+        'end': changepoints['position'].values[1:][same_chrom],
+    })
     segments = segments[segments['start'] < segments['end']]
 
-    # order by chromosome list placement then position
-    segments = segments.merge(pd.DataFrame(
-        list(enumerate(chromosomes)), columns=['chromosome_idx', 'chromosome']))
-    segments.sort_values(['chromosome_idx', 'start'], inplace=True)
+    # drop segments starting inside an assembly gap
+    in_gap = np.zeros(len(segments.index), dtype=bool)
+    for chromosome, gaps in gap_table.groupby('chromosome'):
+        on_chrom = (segments['chromosome'] == chromosome).values
+        if not on_chrom.any():
+            continue
+        gap_starts, gap_ends = _merge_intervals(
+            gaps['start'].values.astype(np.int64),
+            gaps['end'].values.astype(np.int64))
+        gap_spans = np.stack([gap_starts, gap_ends], axis=1)
+        owner = remixt_tpu.segalg.find_contained_positions(
+            gap_spans, segments.loc[on_chrom, 'start'].values)
+        in_gap[on_chrom] = owner >= 0
+    segments = segments[~in_gap]
+
+    # order by the configured chromosome list, then position
+    chrom_rank = {c: i for i, c in enumerate(chromosomes)}
+    segments = segments.assign(
+        _rank=segments['chromosome'].map(chrom_rank)).sort_values(
+            ['_rank', 'start'], kind='stable')
 
     segments.to_csv(segment_filename, sep='\t', index=False,
                     columns=['chromosome', 'start', 'end'])
 
 
-def _check_chr_prefix(series, chr_name_prefix):
-    if chr_name_prefix == 'chr':
-        assert series.str.startswith('chr').all()
-    elif chr_name_prefix == '':
-        assert not series.str.startswith('chr').any()
-    else:
-        raise ValueError(f'unrecognized chr_name_prefix {chr_name_prefix}')
-
-
 def count_segment_reads(seqdata_filename, chromosome, segments,
                         filter_duplicates=False, map_qual_threshold=1):
-    """Count fragments fully contained in each segment of one chromosome
-    (segment.py:124-166)."""
+    """Fragments fully contained in each segment of one chromosome."""
     reads = remixt_tpu.seqdataio.read_fragment_data(
         seqdata_filename, chromosome,
         filter_duplicates=filter_duplicates,
         map_qual_threshold=map_qual_threshold)
 
-    reads = reads.sort_values('start')
-    segments = segments.sort_values('start')
-
-    segments['readcount'] = remixt_tpu.segalg.contained_counts(
-        segments[['start', 'end']].values,
-        reads[['start', 'end']].values)
-
-    return segments.sort_index()
+    ordered = segments.sort_values('start')
+    ordered['readcount'] = remixt_tpu.segalg.contained_counts(
+        ordered[['start', 'end']].values,
+        reads.sort_values('start')[['start', 'end']].values)
+    return ordered.sort_index()
 
 
 def create_segment_counts(segments, seqdata_filename, filter_duplicates=False,
                           map_qual_threshold=1):
-    """Per-chromosome fragment counting fanned over the segment table
-    (segment.py:169-205)."""
-    counts = []
-    for chrom, segs in segments.groupby('chromosome'):
-        counts.append(count_segment_reads(
-            seqdata_filename, chrom, segs.copy(),
+    """Fragment counting fanned over the segment table by chromosome."""
+    counted = [
+        count_segment_reads(
+            seqdata_filename, chromosome, chrom_segments.copy(),
             filter_duplicates=filter_duplicates,
-            map_qual_threshold=map_qual_threshold))
-    counts = pd.concat(counts)
-    return counts.sort_index()
+            map_qual_threshold=map_qual_threshold)
+        for chromosome, chrom_segments in segments.groupby('chromosome')]
+    return pd.concat(counted).sort_index()
 
 
 def create_segment_allele_counts(segment_data, allele_data):
     """Merge haplotype-block phased allele counts into segment counts,
-    deriving major/minor columns (segment.py:208-253)."""
-    allele_data = (
+    deriving major/minor columns and the phase indicator."""
+    keys = ['chromosome', 'start', 'end']
+
+    per_segment = (
         allele_data
-        .set_index(['chromosome', 'start', 'end', 'hap_label', 'is_allele_a'])['readcount']
-        .unstack(fill_value=0)
-        .reindex(columns=[0, 1])
-        .fillna(0.0)
-        .astype(int)
-        .rename(columns={0: 'allele_b_readcount', 1: 'allele_a_readcount'})
+        .pivot_table(index=keys, columns='is_allele_a',
+                     values='readcount', aggfunc='sum', fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .rename(columns={1: 'allele_a_readcount', 0: 'allele_b_readcount'})
     )
+    per_segment = per_segment.reindex(
+        segment_data.set_index(keys).index, fill_value=0).astype(int)
 
-    allele_data = allele_data.groupby(level=[0, 1, 2])[
-        ['allele_a_readcount', 'allele_b_readcount']].sum()
+    a = per_segment['allele_a_readcount']
+    b = per_segment['allele_b_readcount']
+    per_segment['major_readcount'] = np.maximum(a, b)
+    per_segment['minor_readcount'] = np.minimum(a, b)
+    per_segment['major_is_allele_a'] = (a >= b).astype(int)
 
-    allele_data = allele_data.reindex(
-        segment_data.set_index(['chromosome', 'start', 'end']).index, fill_value=0)
-
-    allele_data['major_readcount'] = allele_data[
-        ['allele_a_readcount', 'allele_b_readcount']].max(axis=1)
-    allele_data['minor_readcount'] = allele_data[
-        ['allele_a_readcount', 'allele_b_readcount']].min(axis=1)
-    allele_data['major_is_allele_a'] = (
-        (allele_data['major_readcount'] == allele_data['allele_a_readcount']) * 1)
-
-    segment_data = segment_data.merge(
-        allele_data, left_on=['chromosome', 'start', 'end'], right_index=True)
-
-    return segment_data
+    return segment_data.merge(per_segment, left_on=keys, right_index=True)

@@ -1,14 +1,22 @@
 """Vectorized genomic interval algorithms.
 
-API parity with /root/reference/remixt/segalg.py:5-400 (searchsorted-based
-interval containment/overlap, concatenated ranges, segmentation reindexing,
-adjacent-segment aggregation). Each optimized routine keeps a plain
-``*_unopt`` mirror used by randomized equivalence tests, following the
-reference's naive-vs-optimized test pattern.
+Capability parity with the reference interval library
+(/root/reference/remixt/segalg.py:5-400): containment counts and lookups,
+concatenated ranges, interval/position overlap, common-refinement
+reindexing of two segmentations, and adjacent-segment aggregation.  Each
+optimized routine keeps a plain ``*_unopt`` mirror used by randomized
+equivalence tests (the reference's naive-vs-optimized pattern).
+
+Containment lookups here search the *start* axis and validate against the
+end; the refinement reindexer runs as a single vectorized pass over all
+chromosomes using composite ``(chromosome_code << 42) | position`` keys;
+aggregation uses grouped reductions instead of per-group Python apply.
 """
 
 import numpy as np
 import pandas as pd
+
+_POS_BITS = 42
 
 
 def is_contained(a, b):
@@ -16,226 +24,210 @@ def is_contained(a, b):
     return b[0] >= a[0] and b[1] <= a[1]
 
 
-def contained_counts_unopt(X, Y):
-    """Counts of Y segments fully contained in non-overlapping X segments
-    (naive reference)."""
-    C = np.zeros(X.shape[0])
-    for x_idx, x in enumerate(X):
-        for y in Y:
-            if y[0] >= x[0] and y[1] <= x[1]:
-                C[x_idx] += 1
-    return C
-
-
-def contained_counts(X, Y):
-    """Counts of Y segments fully contained in non-overlapping X segments.
-
-    X must be sorted by start position; X segments must not overlap.
-    """
-    idx = np.searchsorted(X[:, 1], Y[:, 0])
-    end_idx = np.searchsorted(X[:, 1], Y[:, 1])
-
-    outside = end_idx >= X.shape[0]
-    idx[outside] = 0
-
-    idx = idx[
-        (Y[:, 0] >= X[idx, 0]) &
-        (Y[:, 1] <= X[idx, 1]) &
-        (idx == end_idx) &
-        (~outside)
-    ]
-
-    return np.bincount(idx, minlength=X.shape[0])
-
-
-def overlapping_counts(X, Y):
-    """Counts of Y segments overlapping each position in X: position X[i] is
-    counted for y when y[0] < X[i] < y[1].
-
-    X positions sorted; Y sorted by start.
-    """
-    lo = np.searchsorted(X, Y[:, 0], side='right')
-    hi = np.searchsorted(X, Y[:, 1], side='left')
-    delta = np.zeros(X.shape[0] + 1)
-    np.add.at(delta, lo, 1)
-    np.add.at(delta, hi, -1)
-    return np.cumsum(delta[:-1])
+def find_contained_positions(X, Y):
+    """Index into non-overlapping start-sorted segments X of the segment
+    containing each position in Y (half-open [start, end)); -1 where
+    uncontained."""
+    Y = np.asarray(Y)
+    candidate = np.searchsorted(X[:, 0], Y, side='right') - 1
+    safe = np.maximum(candidate, 0)
+    hit = (candidate >= 0) & (Y < X[safe, 1])
+    return np.where(hit, candidate, -1)
 
 
 def find_contained_positions_unopt(X, Y):
-    """Index into X of the segment containing each position (naive)."""
-    M = [-1] * Y.shape[0]
-    for x_idx, x in enumerate(X):
-        for y_idx in range(Y.shape[0]):
-            if Y[y_idx] >= x[0] and Y[y_idx] < x[1]:
-                assert M[y_idx] == -1
-                M[y_idx] = x_idx
-    return M
-
-
-def find_contained_positions(X, Y):
-    """Index into non-overlapping sorted X of the segment containing each
-    position in Y; -1 where uncontained."""
-    idx = np.searchsorted(X[:, 1], Y, side='right')
-
-    mask = idx < X.shape[0]
-    idx[~mask] = -1
-
-    mask = mask & (Y >= X[idx, 0]) & (Y < X[idx, 1])
-    idx[~mask] = -1
-
-    return idx
-
-
-def find_contained_segments_unopt(X, Y):
-    """Index into X of the segment containing each Y segment (naive)."""
-    M = [-1] * Y.shape[0]
-    for x_idx, x in enumerate(X):
-        for y_idx in range(Y.shape[0]):
-            if Y[y_idx, 0] >= x[0] and Y[y_idx, 1] <= x[1]:
-                assert M[y_idx] == -1
-                M[y_idx] = x_idx
-    return M
+    """Naive mirror of find_contained_positions."""
+    out = [-1] * np.asarray(Y).shape[0]
+    for x_idx, (start, end) in enumerate(X):
+        for y_idx, pos in enumerate(Y):
+            if start <= pos < end:
+                assert out[y_idx] == -1
+                out[y_idx] = x_idx
+    return out
 
 
 def find_contained_segments(X, Y):
-    """Index into non-overlapping sorted X of the segment fully containing
-    each Y segment; -1 where uncontained."""
-    idx = np.searchsorted(X[:, 0], Y[:, 0], side='right') - 1
-    idx_end = np.searchsorted(X[:, 1], Y[:, 1], side='left')
+    """Index into non-overlapping start-sorted X of the segment fully
+    containing each Y segment; -1 where uncontained."""
+    candidate = find_contained_positions(X, Y[:, 0])
+    safe = np.maximum(candidate, 0)
+    hit = (candidate >= 0) & (Y[:, 1] <= X[safe, 1])
+    return np.where(hit, candidate, -1)
 
-    mask = idx == idx_end
-    idx[~mask] = -1
 
-    return idx
+def find_contained_segments_unopt(X, Y):
+    """Naive mirror of find_contained_segments."""
+    out = [-1] * Y.shape[0]
+    for x_idx, (start, end) in enumerate(X):
+        for y_idx in range(Y.shape[0]):
+            if Y[y_idx, 0] >= start and Y[y_idx, 1] <= end:
+                assert out[y_idx] == -1
+                out[y_idx] = x_idx
+    return out
+
+
+def contained_counts(X, Y):
+    """Counts of Y segments fully contained in each of the non-overlapping
+    start-sorted X segments."""
+    owner = find_contained_segments(X, Y)
+    return np.bincount(owner[owner >= 0], minlength=X.shape[0]).astype(float)
+
+
+def contained_counts_unopt(X, Y):
+    """Naive mirror of contained_counts."""
+    counts = np.zeros(X.shape[0])
+    for x_idx, x in enumerate(X):
+        for y in Y:
+            if is_contained(x, y):
+                counts[x_idx] += 1
+    return counts
+
+
+def overlapping_counts(X, Y):
+    """For each sorted position X[i], the number of Y segments with
+    Y[:, 0] < X[i] < Y[:, 1], via a difference array."""
+    enter = np.searchsorted(X, Y[:, 0], side='right')
+    leave = np.searchsorted(X, Y[:, 1], side='left')
+    delta = np.bincount(enter, minlength=X.shape[0] + 1)
+    delta = delta - np.bincount(leave, minlength=X.shape[0] + 1)
+    return np.cumsum(delta[:-1]).astype(float)
 
 
 def vrange(starts, lengths):
-    """Concatenated integer ranges: [s, s+len) for each (start, length)."""
-    cat_start = np.repeat(starts, lengths)
-    cat_counter = np.arange(lengths.sum()) - np.repeat(lengths.cumsum() - lengths, lengths)
-    return cat_start + cat_counter
+    """Concatenated integer ranges [s, s + length) for each pair."""
+    starts = np.asarray(starts)
+    lengths = np.asarray(lengths)
+    offsets = np.arange(lengths.sum()) - np.repeat(
+        np.concatenate(([0], np.cumsum(lengths)[:-1])), lengths)
+    return np.repeat(starts, lengths) + offsets
 
 
 def interval_position_overlap(intervals, positions):
-    """Map (possibly overlapping) intervals to contained sorted positions.
-
-    Returns (interval_idx, position_idx) pairs of equal length.
-    """
-    start_pos_idx = np.searchsorted(positions, intervals[:, 0])
-    end_pos_idx = np.searchsorted(positions, intervals[:, 1])
-
-    lengths = end_pos_idx - start_pos_idx
-
-    interval_idx = np.repeat(np.arange(len(lengths)), lengths)
-    position_idx = vrange(start_pos_idx, lengths)
-
-    return interval_idx, position_idx
+    """Pairs (interval_idx, position_idx) for every sorted position falling
+    inside each (possibly overlapping) interval."""
+    first = np.searchsorted(positions, intervals[:, 0])
+    last = np.searchsorted(positions, intervals[:, 1])
+    spans = last - first
+    return np.repeat(np.arange(len(spans)), spans), vrange(first, spans)
 
 
 def interval_position_overlap_unopt(intervals, positions):
     """Naive mirror of interval_position_overlap."""
     interval_idx, position_idx = [], []
-    for i, (s, e) in enumerate(intervals):
-        for j, p in enumerate(positions):
-            if s <= p < e:
+    for i, (start, end) in enumerate(intervals):
+        for j, pos in enumerate(positions):
+            if start <= pos < end:
                 interval_idx.append(i)
                 position_idx.append(j)
-    return np.array(interval_idx, dtype=int), np.array(position_idx, dtype=int)
+    return (np.array(interval_idx, dtype=int),
+            np.array(position_idx, dtype=int))
+
+
+def _empty_reindex():
+    empty = pd.DataFrame({
+        'chromosome': pd.Series(dtype=str),
+        'start': pd.Series(dtype=int),
+        'end': pd.Series(dtype=int),
+        'idx_1': pd.Series(dtype=int),
+        'idx_2': pd.Series(dtype=int),
+    })
+    return empty
 
 
 def reindex_segments(cn_1, cn_2):
-    """Reindex two segmentations to their common refinement.
+    """Common refinement of two segment tables.
 
-    Returns a dataframe with columns 'chromosome', 'start', 'end', 'idx_1',
-    'idx_2' where idx_* index the input tables' rows covering each refined
-    sub-segment.
+    Returns a table with columns chromosome/start/end/idx_1/idx_2: the
+    refined sub-segments covered by BOTH inputs, with idx_* the covering
+    row labels.  Vectorized over all chromosomes at once with composite
+    (chromosome code, position) integer keys.
     """
     if len(cn_1.index) == 0 or len(cn_2.index) == 0:
-        empty = pd.DataFrame(columns=['chromosome', 'start', 'end', 'idx_1', 'idx_2'])
-        for col in ['start', 'end', 'idx_1', 'idx_2']:
-            empty[col] = empty[col].astype(int)
-        empty['chromosome'] = empty['chromosome'].astype(str)
-        return empty
+        return _empty_reindex()
 
-    reseg = []
+    all_chroms = pd.concat([cn_1['chromosome'].astype(str),
+                            cn_2['chromosome'].astype(str)],
+                           ignore_index=True)
+    codes, chrom_names = pd.factorize(all_chroms)
+    codes_1 = codes[:len(cn_1.index)].astype(np.int64)
+    codes_2 = codes[len(cn_1.index):].astype(np.int64)
 
-    for chromosome, chrom_cn_1 in cn_1.groupby('chromosome'):
-        chrom_cn_2 = cn_2[cn_2['chromosome'] == chromosome]
-        if len(chrom_cn_2.index) == 0:
-            continue
+    def keyed(codes_arr, positions):
+        return (codes_arr << _POS_BITS) + positions.astype(np.int64)
 
-        boundaries = np.sort(np.unique(np.concatenate([
-            chrom_cn_1['start'].values,
-            chrom_cn_1['end'].values,
-            chrom_cn_2['start'].values,
-            chrom_cn_2['end'].values,
-        ])))
+    # refined boundaries: every start/end of either table, per chromosome
+    bounds = np.unique(np.concatenate([
+        keyed(codes_1, cn_1['start'].values),
+        keyed(codes_1, cn_1['end'].values),
+        keyed(codes_2, cn_2['start'].values),
+        keyed(codes_2, cn_2['end'].values),
+    ]))
+    lo, hi = bounds[:-1], bounds[1:]
+    same_chrom = (lo >> _POS_BITS) == (hi >> _POS_BITS)
+    lo, hi = lo[same_chrom], hi[same_chrom]
 
-        chrom_reseg = pd.DataFrame({
-            'start': boundaries[:-1],
-            'end': boundaries[1:],
-        })
+    # cover lookup: a refined piece [lo, hi) is covered by a table row when
+    # one row's keyed [start, end) contains it
+    def cover(codes_arr, table):
+        start_keys = keyed(codes_arr, table['start'].values)
+        end_keys = keyed(codes_arr, table['end'].values)
+        order = np.argsort(start_keys, kind='stable')
+        pos = np.searchsorted(start_keys[order], lo, side='right') - 1
+        safe = np.maximum(pos, 0)
+        hit = (pos >= 0) & (hi <= end_keys[order][safe]) & (
+            lo >= start_keys[order][safe])
+        return np.where(hit, order[safe], -1)
 
-        keep = np.ones(len(chrom_reseg.index), dtype=bool)
-        idx_cols = {}
-        for suffix, chrom_cn in zip(('_1', '_2'), (chrom_cn_1, chrom_cn_2)):
-            start_idx = np.searchsorted(
-                chrom_cn['start'].values, chrom_reseg['start'].values,
-                side='right') - 1
-            end_idx = np.searchsorted(
-                chrom_cn['end'].values, chrom_reseg['end'].values,
-                side='left')
-            ok = (start_idx == end_idx) & (start_idx >= 0) & (start_idx < len(chrom_cn.index))
-            keep &= ok
-            idx_cols[suffix] = (start_idx, chrom_cn.index.values)
+    cover_1 = cover(codes_1, cn_1)
+    cover_2 = cover(codes_2, cn_2)
+    both = (cover_1 >= 0) & (cover_2 >= 0)
+    if not both.any():
+        return _empty_reindex()
 
-        chrom_reseg = chrom_reseg[keep]
-        for suffix, (start_idx, index_values) in idx_cols.items():
-            chrom_reseg['idx' + suffix] = index_values[start_idx[keep]]
-        chrom_reseg['chromosome'] = chromosome
-
-        reseg.append(chrom_reseg)
-
-    if not reseg:
-        return reindex_segments(pd.DataFrame(columns=cn_1.columns),
-                                pd.DataFrame(columns=cn_2.columns))
-    return pd.concat(reseg, ignore_index=True)
+    lo, hi = lo[both], hi[both]
+    mask = (np.int64(1) << _POS_BITS) - 1
+    return pd.DataFrame({
+        'chromosome': chrom_names[(lo >> _POS_BITS)].astype(str),
+        'start': lo & mask,
+        'end': hi & mask,
+        'idx_1': cn_1.index.values[cover_1[both]],
+        'idx_2': cn_2.index.values[cover_2[both]],
+    })
 
 
 def aggregate_adjacent(cnv, value_cols=None, stable_cols=None,
                        length_normalized_cols=None):
-    """Merge runs of adjacent segments with equal copy-number state.
+    """Merge runs of adjacent segments sharing a copy-number state.
 
-    value_cols define state equality; stable_cols carry over from the run's
-    first row; length_normalized_cols are length-weighted averages.
+    value_cols define run equality; stable_cols carry the run's first
+    value; length_normalized_cols become length-weighted means.  Grouped
+    reductions throughout — no per-run Python.
     """
     if value_cols is None:
         value_cols = ['major_1', 'major_2', 'minor_1', 'minor_2']
-
     if stable_cols is None:
         stable_cols = [
             'chromosome',
             'major_1', 'major_2', 'minor_1', 'minor_2',
             'major_raw_e', 'minor_raw_e',
         ]
-
     if length_normalized_cols is None:
         length_normalized_cols = ['major_raw', 'minor_raw']
 
-    cnv = cnv.copy()
-    cnv['chromosome_index'] = np.searchsorted(
-        np.unique(cnv['chromosome']), cnv['chromosome'])
-    diff = cnv[['chromosome_index'] + value_cols].diff().abs().sum(axis=1)
-    cnv['cn_group'] = (diff != 0).cumsum()
+    chrom_code = pd.factorize(cnv['chromosome'])[0]
+    state = np.column_stack([chrom_code] + [
+        cnv[c].values for c in value_cols])
+    is_new_run = np.concatenate(
+        ([True], np.any(state[1:] != state[:-1], axis=1)))
+    runs = np.cumsum(is_new_run)
 
-    def agg_segments(df):
-        a = df[stable_cols].iloc[0].copy()
-        a['start'] = df['start'].min()
-        a['end'] = df['end'].max()
-        a['length'] = df['length'].sum()
-        for col in length_normalized_cols:
-            a[col] = (df[col] * df['length']).sum() / (df['length'].sum() + 1e-16)
-        return a
-
-    return cnv.groupby('cn_group').apply(agg_segments)
+    grouped = cnv.groupby(runs, sort=True)
+    out = grouped[stable_cols].first()
+    out['start'] = grouped['start'].min()
+    out['end'] = grouped['end'].max()
+    out['length'] = grouped['length'].sum()
+    weighted = cnv[length_normalized_cols].multiply(cnv['length'], axis=0)
+    for col in length_normalized_cols:
+        out[col] = (weighted[col].groupby(runs).sum()
+                    / (out['length'] + 1e-16))
+    return out
