@@ -450,6 +450,27 @@ class RearrangedGenome(object):
         return np.bincount(major, weights=self.l,
                            minlength=cn_max + 1) / self.l.sum()
 
+    def segment_copy_table(self):
+        """Flat table of segment copies in rearranged order, one vectorized
+        decode per chromosome: columns tmr_chrom, chromosome, start, end,
+        allele, orientation, length."""
+        if not self._chromosomes:
+            return pd.DataFrame(columns=[
+                'tmr_chrom', 'chromosome', 'start', 'end', 'allele',
+                'orientation', 'length'])
+        sizes = [len(arm) for arm in self._chromosomes]
+        codes = np.concatenate(self._chromosomes)
+        seg, allele, orient = _decode_copies(codes)
+        return pd.DataFrame({
+            'tmr_chrom': np.repeat(np.arange(len(sizes)), sizes),
+            'chromosome': self.segment_chromosome_id[seg],
+            'start': self.segment_start[seg],
+            'end': self.segment_end[seg],
+            'allele': allele,
+            'orientation': orient,
+            'length': self.l[seg].astype(int),
+        })
+
     def create_chromosome_sequences(self, germline_genome):
         """Realize nucleotide sequences; ``germline_genome`` maps
         (chromosome_id, allele) to the germline sequence string."""

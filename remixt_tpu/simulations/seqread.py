@@ -45,23 +45,9 @@ def segment_remap(segments, positions):
 
 
 def _create_segment_table(genome):
-    """Flat table of segment copies in rearranged order (seqread.py:83-118)."""
-    segment_data = list()
-    for tmr_chrom_idx, tmr_chrom in enumerate(genome.chromosomes):
-        for (segment_idx, allele_id), orientation in tmr_chrom:
-            segment_data.append((
-                tmr_chrom_idx,
-                genome.segment_chromosome_id[segment_idx],
-                genome.segment_start[segment_idx],
-                genome.segment_end[segment_idx],
-                allele_id,
-                orientation,
-                int(genome.l[segment_idx]),
-            ))
-
-    return pd.DataFrame(segment_data, columns=[
-        'tmr_chrom', 'chromosome', 'start', 'end', 'allele', 'orientation',
-        'length'])
+    """Flat table of segment copies in rearranged order (seqread.py:83-118);
+    the array-coded genome decodes this vectorized."""
+    return genome.segment_copy_table()
 
 
 def _overlap_snps(fragments, chrom_snps, read_length, base_call_error):
