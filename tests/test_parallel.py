@@ -99,3 +99,33 @@ def test_2d_mesh_matches_single_device(problem):
                     np.asarray(expected_states[i].p_breakpoint), atol=1e-9)
     finally:
         spec.chain_constraint = None
+
+
+def test_factor_devices():
+    from remixt_tpu.parallel import distributed
+
+    assert distributed.factor_devices(8, num_restarts=2, num_blocks=2) == (2, 2, 2)
+    assert distributed.factor_devices(8, num_restarts=None, num_blocks=None) == (8, 1, 1)
+    assert distributed.factor_devices(8, num_restarts=4, num_blocks=1) == (4, 2, 1)
+    # prime counts with capped restart/block axes land on the chain axis
+    assert distributed.factor_devices(7, num_restarts=2, num_blocks=2) == (1, 7, 1)
+
+
+def test_make_training_mesh():
+    import jax
+    from remixt_tpu.parallel import distributed
+
+    mesh = distributed.make_training_mesh(num_restarts=2, num_blocks=2)
+    assert mesh.axis_names == ('restart', 'chain', 'block')
+    assert mesh.devices.size <= len(jax.devices())
+
+
+def test_cohort_partition_balanced_and_disjoint():
+    from remixt_tpu.parallel import distributed
+
+    samples = ['s{}'.format(i) for i in range(10)]
+    shares = [distributed.cohort_partition(samples, pid, 3) for pid in range(3)]
+    merged = sorted(sum(shares, []))
+    assert merged == sorted(samples)
+    sizes = sorted(len(s) for s in shares)
+    assert sizes == [3, 3, 4]
