@@ -23,9 +23,39 @@ import numpy as np
 import networkx
 
 
+def _prune_to_variant_components(variant_edges, reference_edges):
+    """Drop reference edges in components with no variant edge.
+
+    A balanced cycle alternates variant and reference edges, so only the
+    connected components (over the union graph) touching a variant edge
+    can cancel anything.  Every breakend has at most one wild-type partner
+    (reference degree <= 1) and variant edges are few, so the surviving
+    subgraph is tiny — without this the matching runs on the full genome's
+    ~2N reference edges (hours at benchmark scale).
+    """
+    neighbours = {}
+    for u, v in list(variant_edges) + list(reference_edges):
+        neighbours.setdefault(u, []).append(v)
+        neighbours.setdefault(v, []).append(u)
+
+    reachable = set()
+    stack = [node for edge in variant_edges for node in edge]
+    while stack:
+        node = stack.pop()
+        if node in reachable:
+            continue
+        reachable.add(node)
+        stack.extend(neighbours.get(node, ()))
+
+    return [edge for edge in reference_edges
+            if edge[0] in reachable or edge[1] in reachable]
+
+
 def _matched_layer_pairs(variant_edges, reference_edges):
     """Run the doubled-graph matching; return the symmetric difference of
     matched same-layer edges as a set of frozenset breakend pairs."""
+    reference_edges = _prune_to_variant_components(
+        variant_edges, reference_edges)
     doubled = networkx.Graph()
     node_ids = {}
 
