@@ -166,3 +166,41 @@ def test_snapshot_resume_identical(sim_data, tmp_path):
     assert set(brk_b.keys()) == set(brk_ref.keys())
     for k in brk_b:
         np.testing.assert_array_equal(brk_b[k], brk_ref[k])
+
+
+def test_h_update_paths_agree(sim_data):
+    """The fused in-graph backtracking h update and the scipy L-BFGS-B path
+    must land on equivalent optima (same subsample objective; both guarded
+    by the full-data accept/reject)."""
+    from remixt_tpu.models import em as em_mod
+
+    data = sim_data
+    model = make_model(data)
+    model.num_em_iter = 1
+    model.num_update_iter = 2
+    h_init = data['h'] * np.array([1.1, 0.9, 1.05])
+    model.fit(h_init)
+
+    spec, params, state = model.spec, model.params, model.state
+    full = np.ones(spec.N)
+
+    params_lbfgs, _ = em_mod.update_h(
+        spec, params, state, np.random.RandomState(7))
+    params_fused, _ = em_mod.update_h_fused(
+        spec, params, state, np.random.RandomState(7))
+
+    ell = lambda p: float(spec.expected_log_likelihood(
+        p, state, np.asarray(full, dtype=np.float64)))
+    ell_before = ell(params)
+    ell_lbfgs = ell(params_lbfgs)
+    ell_fused = ell(params_fused)
+
+    # both improve (or hold) the full-data objective...
+    assert ell_lbfgs >= ell_before
+    assert ell_fused >= ell_before
+    # ...and agree on the achieved objective and the h location
+    gap = abs(ell_lbfgs - ell_before) + abs(ell_fused - ell_before) + 1e-9
+    assert abs(ell_fused - ell_lbfgs) < 0.2 * gap + 1e-6, (
+        ell_before, ell_lbfgs, ell_fused)
+    np.testing.assert_allclose(
+        np.asarray(params_fused.h), np.asarray(params_lbfgs.h), rtol=0.05)
