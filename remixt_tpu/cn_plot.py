@@ -298,3 +298,74 @@ def ploidy_analysis_plots(experiment_filename, plots_filename, chromosomes=None)
             ax.set_title(f'candidate {idx}: h={np.round(h, 4)} ploidy={ploidy:.2f}')
             pdf.savefig(fig, bbox_inches='tight')
             plt.close(fig)
+
+
+def plot_cnv_genome_density(fig, transform, cnv, chromosomes=None,
+                            maxcopies=6):
+    """Genome-wide raw copy-number track with a rotated marginal density
+    panel on the right (cn_plot.py:213-254 capability).
+
+    ``transform`` is a (x, y, width, height) box in figure coordinates that
+    the two panels split 85/15.
+    """
+    box_x, box_y, box_w, box_h = transform
+    ax_genome = fig.add_axes([box_x, box_y, box_w * 0.84, box_h])
+    ax_density = fig.add_axes(
+        [box_x + box_w * 0.86, box_y, box_w * 0.14, box_h],
+        sharey=ax_genome)
+
+    plot_cnv_genome(ax_genome, cnv, maxcopies=maxcopies,
+                    major_col='major_raw', minor_col='minor_raw',
+                    chromosomes=chromosomes)
+
+    lengths = cnv['length'].values.astype(float)
+    for col, color in (('major_raw', MAJOR_COLOR), ('minor_raw', MINOR_COLOR)):
+        filled_density_weighted(
+            ax_density, cnv[col].values, lengths, color, 0.5,
+            -0.5, maxcopies + 0.5, 0.05, rotate=True)
+    ax_density.set_xticks([])
+    plt.setp(ax_density.get_yticklabels(), visible=False)
+    return ax_genome, ax_density
+
+
+def plot_cnv_scatter_density(fig, transform, cnv, major_col='major_raw',
+                             minor_col='minor_raw', annotate=(), info='',
+                             chromosomes=None, maxcopies=6):
+    """Major/minor scatter with marginal densities on both axes
+    (cn_plot.py:359-427 capability).
+
+    ``annotate`` lists (major, minor) state points to mark; ``info`` is a
+    caption placed in the spare corner panel.
+    """
+    box_x, box_y, box_w, box_h = transform
+    ax_scatter = fig.add_axes(
+        [box_x, box_y, box_w * 0.78, box_h * 0.78])
+    ax_top = fig.add_axes(
+        [box_x, box_y + box_h * 0.80, box_w * 0.78, box_h * 0.18],
+        sharex=ax_scatter)
+    ax_right = fig.add_axes(
+        [box_x + box_w * 0.80, box_y, box_w * 0.18, box_h * 0.78],
+        sharey=ax_scatter)
+
+    plot_cnv_scatter(ax_scatter, cnv, major_col=major_col,
+                     minor_col=minor_col, chromosomes=chromosomes)
+    ax_scatter.set_xlim(-0.5, maxcopies + 0.5)
+    ax_scatter.set_ylim(-0.5, maxcopies + 0.5)
+
+    lengths = cnv['length'].values.astype(float)
+    filled_density_weighted(ax_top, cnv[major_col].values, lengths,
+                            MAJOR_COLOR, 0.5, -0.5, maxcopies + 0.5, 0.05)
+    filled_density_weighted(ax_right, cnv[minor_col].values, lengths,
+                            MINOR_COLOR, 0.5, -0.5, maxcopies + 0.5, 0.05,
+                            rotate=True)
+    for marker in annotate:
+        ax_scatter.plot([marker[0]], [marker[1]], marker='x', ms=8,
+                        color='k', zorder=5)
+    if info:
+        fig.text(box_x + box_w * 0.82, box_y + box_h * 0.92, info,
+                 fontsize=8, va='top')
+    ax_top.set_yticks([])
+    ax_right.set_xticks([])
+    plt.setp(ax_top.get_xticklabels(), visible=False)
+    plt.setp(ax_right.get_yticklabels(), visible=False)
+    return ax_scatter
