@@ -120,14 +120,15 @@ def time_restart_batched_sweep(spec, params, state, num_restarts, iters=5):
     params_b = par.stack_pytrees(params_list)
     state_b = par.stack_pytrees([state] * num_restarts)
 
-    # the Pallas kernel has no batching rule; the vmapped path rides the
-    # chain-batched scan (einsum picks up the restart axis for free)
+    # the dedicated restart-batched sweep: static transition gather shared
+    # across the restart axis, per-restart breakend fix-ups on a schedule
     use_pallas = spec.use_pallas
     spec.use_pallas = False
     spec._jit_cache = {}
     import functools
     from remixt_tpu.models import engine as eng
-    sweep_b = jax.jit(jax.vmap(functools.partial(eng.variational_sweep, spec)))
+    sweep_b = jax.jit(
+        functools.partial(eng.variational_sweep_restarts, spec))
 
     state_b0 = sweep_b(params_b, state_b)
     jax.block_until_ready(state_b0)

@@ -309,6 +309,13 @@ class ModelSpec:
                 self.Q, self.L, self.S)
         return self._pallas_plan
 
+    @property
+    def restart_plan(self):
+        if getattr(self, '_restart_plan', None) is None:
+            self._restart_plan = fb_scan.build_restart_plan(
+                np.asarray(self.chain_bank_idx), self.num_static_bank)
+        return self._restart_plan
+
     # -- initial pytrees -----------------------------------------------------
 
     def init_params(self, h_init, divergence_weight,
@@ -653,6 +660,56 @@ def variational_sweep(spec, params, state):
     state = update_p_outlier_total(spec, params, state, ll_tot)
     state = update_p_outlier_allele(spec, params, state, ll_alle)
     return state
+
+
+def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b):
+    """Restart-batched chain update: the elementwise mixing vmaps, the
+    forward-backward runs through the dedicated restart-batched scan
+    (fb_scan.forward_backward_chains_restarts) whose static transition
+    gather is shared across the restart axis."""
+    import functools
+
+    R = ll_tot_b.shape[0]
+    frame_b = jax.vmap(functools.partial(_mix_framelogprob, spec))(
+        params_b, state_b, ll_tot_b, ll_alle_b)
+    be_bank_b = jax.vmap(
+        lambda pb: breakend_tmats(spec, pb))(state_b.p_breakpoint)
+
+    alphas, betas, log_norm = fb_scan.forward_backward_chains_restarts(
+        frame_b, spec.static_bank, be_bank_b, spec.restart_plan,
+        np.asarray(spec.chain_seg_map), spec.chain_last)
+
+    marginals = exp_normalize(alphas + betas, axis=-1)
+    return state_b._replace(
+        posterior_marginals=marginals,
+        alphas=alphas,
+        betas=betas,
+        framelogprob=frame_b,
+        hmm_log_norm_const=log_norm,
+        chain_scale=jnp.ones((R,), dtype=frame_b.dtype),
+        p_breakpoint_used=state_b.p_breakpoint,
+    )
+
+
+def variational_sweep_restarts(spec, params_b, state_b):
+    """One sweep over a stacked restart axis.
+
+    Equivalent to ``vmap(variational_sweep)`` but with the chain update
+    routed through the restart-batched scan — the vmapped scan's
+    per-(restart, lane) transition gather is R-fold redundant HBM traffic
+    and measured ~40x slower at production shape.
+    """
+    import functools
+
+    vm = lambda f: jax.vmap(functools.partial(f, spec))
+    ll_tot, ll_alle = jax.vmap(
+        functools.partial(emission_tensors, spec))(params_b)
+    state_b = vm(update_p_allele_swap)(params_b, state_b, ll_alle)
+    state_b = update_p_cn_restarts(spec, params_b, state_b, ll_tot, ll_alle)
+    state_b = vm(update_p_breakpoint)(params_b, state_b)
+    state_b = vm(update_p_outlier_total)(params_b, state_b, ll_tot)
+    state_b = vm(update_p_outlier_allele)(params_b, state_b, ll_alle)
+    return state_b
 
 
 # ===========================================================================

@@ -257,3 +257,140 @@ def viterbi(framelogprob, bank, bank_idx):
     _, seq_rest = jax.lax.scan(back_step, last_state, ptrs, reverse=True)
     state_sequence = jnp.concatenate([seq_rest, last_state[None]], axis=0)
     return state_sequence, logprob
+
+
+def build_restart_plan(chain_bank_idx_np, num_static_bank):
+    """Host-side schedule for the restart-batched scan.
+
+    Splits the per-pair bank indices into a static-class plane (breakend
+    pairs mapped to the cut class 0) and a compact per-step breakend
+    schedule: at most ``kmax`` (lane, breakend) fix-ups per step, -1
+    padded.  Returns dict with 'static_idx' (Q, T), 'sched_lane' and
+    'sched_slot' (T, kmax) for T = chain_bank_idx.shape[1] steps.
+    """
+    import numpy as np
+
+    cls = np.asarray(chain_bank_idx_np)
+    is_be = cls >= num_static_bank
+    static_idx = np.where(is_be, 0, cls).astype(np.int32)
+
+    T = cls.shape[1]
+    counts = is_be.sum(axis=0)
+    kmax = max(int(counts.max()) if T else 1, 1)
+    sched_lane = -np.ones((T, kmax), dtype=np.int32)
+    sched_slot = np.zeros((T, kmax), dtype=np.int32)
+    for t in range(T):
+        for j, q in enumerate(np.flatnonzero(is_be[:, t])):
+            sched_lane[t, j] = q
+            sched_slot[t, j] = cls[q, t] - num_static_bank
+    return dict(static_idx=static_idx, sched_lane=sched_lane,
+                sched_slot=sched_slot, kmax=kmax)
+
+
+def forward_backward_chains_restarts(frame_b, static_bank, be_bank_b, plan,
+                                     chain_seg_map, chain_last):
+    """Restart-batched chain forward-backward.
+
+    The naively vmapped scan gathers an (R*Q, S, S) transition slab from
+    HBM every step — R-fold redundant, since the static class matrix of a
+    lane is identical across restarts (only the J breakend matrices depend
+    on the restart's q(brk)).  Here the static contraction gathers (Q, S,
+    S) once per step shared across restarts (an MXU-dense
+    'rqi,qij->rqj'), and per-restart breakend matrices apply as at most
+    ``kmax`` scheduled per-lane fix-ups ('ri,rij->rj').  Measured ~40x
+    over the vmapped scan at R=12 production shape.
+
+    Args:
+        frame_b: (R, N, S) per-restart emission log probs
+        static_bank: (num_static, S, S) shared transition log-weights
+        be_bank_b: (R, J, S, S) per-restart breakend log-weights
+        plan: build_restart_plan output
+        chain_seg_map: (Q, L) global segment index, N for pads
+        chain_last: (Q,) last real position per chain
+
+    Returns:
+        alphas (R, N, S), betas (R, N, S), log_norm (R,)
+    """
+    R, N, S = frame_b.shape
+    Q, L = chain_seg_map.shape
+    kmax = plan['kmax']
+
+    pad_row = jnp.zeros((R, 1, S), dtype=frame_b.dtype)
+    frame_ext = jnp.concatenate([frame_b, pad_row], axis=1)
+    F = frame_ext[:, chain_seg_map.reshape(-1)].reshape(R, Q, L, S)
+    Ft = jnp.transpose(F, (2, 0, 1, 3))               # (L, R, Q, S)
+
+    exp_static = jnp.exp(static_bank)
+    exp_be = jnp.exp(be_bank_b) if be_bank_b.shape[1] else (
+        jnp.zeros((R, 1, S, S), dtype=frame_b.dtype))
+
+    static_idx = jnp.asarray(plan['static_idx']).T    # (T, Q)
+    sched_lane = jnp.asarray(plan['sched_lane'])      # (T, kmax)
+    sched_slot = jnp.asarray(plan['sched_slot'])
+
+    def contract(u, idx_row, lanes, slots, reverse):
+        """u (R, Q, S) -> s (R, Q, S) through this step's matrices."""
+        P = exp_static[idx_row]                       # (Q, S, S)
+        if reverse:
+            s = jnp.einsum('rqj,qij->rqi', u, P,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            s = jnp.einsum('rqi,qij->rqj', u, P,
+                           precision=jax.lax.Precision.HIGHEST)
+        for k in range(kmax):
+            lane = lanes[k]
+            safe = jnp.maximum(lane, 0)
+            u_lane = u[:, safe, :]                    # (R, S)
+            M = exp_be[:, slots[k]]                   # (R, S, S)
+            if reverse:
+                v = jnp.einsum('rij,rj->ri', M, u_lane,
+                               precision=jax.lax.Precision.HIGHEST)
+            else:
+                v = jnp.einsum('ri,rij->rj', u_lane, M,
+                               precision=jax.lax.Precision.HIGHEST)
+            s = jnp.where(lane >= 0, s.at[:, safe, :].set(v), s)
+        return s
+
+    def fwd_step(alpha, inputs):
+        idx_row, lanes, slots, f_next = inputs
+        amax = jnp.max(alpha, axis=-1, keepdims=True)
+        u = jnp.exp(alpha - amax)
+        s = contract(u, idx_row, lanes, slots, reverse=False)
+        alpha_next = jnp.log(s) + amax + f_next
+        return alpha_next, alpha_next
+
+    alpha0 = Ft[0]
+    _, alphas_rest = jax.lax.scan(
+        fwd_step, alpha0, (static_idx, sched_lane, sched_slot, Ft[1:]))
+    alphas_t = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
+
+    def bwd_step(beta, inputs):
+        idx_row, lanes, slots, f_next = inputs
+        fb = f_next + beta
+        bmax = jnp.max(fb, axis=-1, keepdims=True)
+        w = jnp.exp(fb - bmax)
+        s = contract(w, idx_row, lanes, slots, reverse=True)
+        beta_prev = jnp.log(s) + bmax
+        return beta_prev, beta_prev
+
+    beta_last = jnp.zeros_like(alpha0)
+    _, betas_rest = jax.lax.scan(
+        bwd_step, beta_last, (static_idx, sched_lane, sched_slot, Ft[1:]),
+        reverse=True)
+    betas_t = jnp.concatenate([betas_rest, beta_last[None]], axis=0)
+
+    alphas_b = jnp.transpose(alphas_t, (1, 2, 0, 3))  # (R, Q, L, S)
+    betas_b = jnp.transpose(betas_t, (1, 2, 0, 3))
+
+    alpha_last = jnp.take_along_axis(
+        alphas_b, chain_last[None, :, None, None].astype(jnp.int32)
+        * jnp.ones((R, Q, 1, 1), jnp.int32), axis=2)[:, :, 0, :]
+    log_norm = jnp.sum(logsumexp(alpha_last, axis=-1), axis=-1)  # (R,)
+
+    alphas = jnp.zeros((R, N + 1, S), dtype=frame_b.dtype)
+    alphas = alphas.at[:, chain_seg_map.reshape(-1)].set(
+        alphas_b.reshape(R, -1, S))[:, :N]
+    betas = jnp.zeros((R, N + 1, S), dtype=frame_b.dtype)
+    betas = betas.at[:, chain_seg_map.reshape(-1)].set(
+        betas_b.reshape(R, -1, S))[:, :N]
+    return alphas, betas, log_norm

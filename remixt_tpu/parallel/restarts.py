@@ -46,13 +46,13 @@ def make_restart_mesh(devices=None, axis='restart'):
 
 
 def make_sharded_sweep(spec, mesh, axis='restart'):
-    """Jitted restart-sharded variational sweep: (params_b, state_b) -> state_b."""
-    sweep_v = jax.vmap(functools.partial(eng.variational_sweep, spec))
+    """Jitted restart-sharded variational sweep: (params_b, state_b) -> state_b.
 
-    def step(params_b, state_b):
-        return sweep_v(params_b, state_b)
-
-    return jax.jit(step)
+    Uses the dedicated restart-batched sweep whose static-transition gather
+    is shared across the restart axis (eng.variational_sweep_restarts); the
+    SPMD partitioner shards the leading axis over ``mesh[axis]``.
+    """
+    return jax.jit(functools.partial(eng.variational_sweep_restarts, spec))
 
 
 def make_sharded_train_step(spec, mesh, axis='restart', h_step=0.0):

@@ -1,11 +1,14 @@
 """Interactive HTML visualization of solutions.
 
-Capability parity with /root/reference/remixt/visualize.py:359-640 (bokeh
-genome/solution reports). Bokeh is not available in this environment, so the
-report is a fully self-contained HTML document: solution data embedded as
-JSON, rendered with inline JavaScript on HTML canvas — per-solution genome
-copy-number tracks, raw-depth scatter, breakpoint arcs, and a solution
-comparison table. No external network or library dependencies.
+Capability parity with the reference bokeh reports
+(/root/reference/remixt/visualize.py:359-640). Bokeh is not available in
+this environment, so the report is a fully self-contained HTML document:
+solution data embedded as JSON, rendered with inline JavaScript on HTML
+canvas. Linked-panel interactivity matches the reference app: a solution
+selector and clickable statistics rows, a chromosome zoom selector, a
+drag-brush x-range shared across all tracks (double-click resets), hover
+tooltips with per-segment details, and toggleable breakpoint arcs. No
+external network or library dependencies.
 """
 
 import json
@@ -34,6 +37,8 @@ def _segment_payload(cn):
         seg = {
             'x0': int(row['start']) + offsets[chrom],
             'x1': int(row['end']) + offsets[chrom],
+            'start': int(row['start']),
+            'end': int(row['end']),
             'chrom': chrom,
         }
         for col in ['major_raw', 'minor_raw', 'major_1', 'minor_1',
@@ -44,23 +49,27 @@ def _segment_payload(cn):
         segments.append(seg)
 
     chrom_marks = [
-        {'name': c, 'x': offsets[c]} for c in chromosomes
+        {'name': c, 'x': offsets[c],
+         'len': int(cn[cn['chromosome'] == c]['end'].max())}
+        for c in chromosomes
     ]
     return segments, chrom_marks, genome_length
 
 
-def _brk_payload(brk_cn, offsets_lookup):
+def _brk_payload(brk_cn, offsets):
     brks = []
-    if len(brk_cn.index) == 0:
+    if brk_cn is None or len(brk_cn.index) == 0:
         return brks
+    cn_cols = [c for c in brk_cn.columns if c.startswith('cn_')]
     for _, row in brk_cn.iterrows():
         try:
+            c0, c1 = str(row['chromosome_1']), str(row['chromosome_2'])
+            if c0 not in offsets or c1 not in offsets:
+                continue
             brks.append({
-                'x0': int(row['position_1']),
-                'chrom0': str(row['chromosome_1']),
-                'x1': int(row['position_2']),
-                'chrom1': str(row['chromosome_2']),
-                'cn': [float(row[c]) for c in brk_cn.columns if c.startswith('cn_')],
+                'x0': int(row['position_1']) + offsets[c0],
+                'x1': int(row['position_2']) + offsets[c1],
+                'cn': [round(float(row[c]), 3) for c in cn_cols],
             })
         except (KeyError, ValueError):
             continue
@@ -77,73 +86,115 @@ body {{ font-family: sans-serif; margin: 20px; }}
 canvas {{ border: 1px solid #ccc; display: block; margin-bottom: 10px; }}
 table {{ border-collapse: collapse; font-size: 12px; }}
 td, th {{ border: 1px solid #ccc; padding: 3px 8px; text-align: right; }}
+tr.selectable {{ cursor: pointer; }}
 tr.selected {{ background: #e6f2ff; }}
 .legend span {{ margin-right: 16px; }}
+#tooltip {{ position: absolute; background: #fffbe6; border: 1px solid #aaa;
+           padding: 4px 6px; font-size: 11px; pointer-events: none;
+           display: none; }}
+.controls > * {{ margin-right: 14px; }}
 </style>
 </head>
 <body>
 <h2>remixt-tpu solutions</h2>
-<div>solution: <select id="solution"></select></div>
+<div class="controls">
+  solution: <select id="solution"></select>
+  chromosome: <select id="chromosome"></select>
+  <label><input type="checkbox" id="arcs" checked> breakpoint arcs</label>
+  <span style="color:#666;font-size:11px">drag to zoom, double-click to reset</span>
+</div>
 <div class="legend">
   <span style="color:#d62728">&#9632; major</span>
   <span style="color:#1f77b4">&#9632; minor</span>
   <span style="color:#999">&#9474; chromosome boundary</span>
 </div>
 <h3>raw copy number</h3>
-<canvas id="raw" width="1200" height="220"></canvas>
+<canvas id="raw" width="1200" height="240"></canvas>
 <h3>clone copy number</h3>
 <canvas id="clone1" width="1200" height="180"></canvas>
 <canvas id="clone2" width="1200" height="180"></canvas>
-<h3>solution statistics</h3>
+<h3>solution statistics <span style="font-size:11px;color:#666">(click a row to select)</span></h3>
 <div id="stats"></div>
+<div id="tooltip"></div>
 <script>
 const DATA = {data_json};
+const PAD = 30;
+const view = {{ solution: DATA.best, x0: 0, x1: DATA.genome_length }};
 
-function drawTrack(canvas, segments, genomeLength, chromMarks, majorCol, minorCol, maxCopies) {{
+function visibleSegments(segments) {{
+  return segments.filter(s => s.x1 > view.x0 && s.x0 < view.x1);
+}}
+
+function scales(canvas, maxCopies) {{
+  const W = canvas.width, H = canvas.height;
+  const sx = x => PAD + (W - 2 * PAD) * (x - view.x0) / (view.x1 - view.x0);
+  const sy = y => H - PAD - (H - 2 * PAD) *
+      Math.min(Math.max(y, -0.4), maxCopies * 1.1) / (maxCopies * 1.1);
+  return [sx, sy];
+}}
+
+function drawTrack(canvas, sol, majorCol, minorCol, maxCopies, withArcs) {{
   const ctx = canvas.getContext('2d');
   ctx.clearRect(0, 0, canvas.width, canvas.height);
-  const W = canvas.width, H = canvas.height, pad = 25;
-  const sx = x => pad + (W - 2 * pad) * x / genomeLength;
-  const sy = y => H - pad - (H - 2 * pad) * Math.min(y, maxCopies * 1.1) / (maxCopies * 1.1);
+  const [sx, sy] = scales(canvas, maxCopies);
 
-  ctx.strokeStyle = '#ddd';
-  ctx.fillStyle = '#666';
   ctx.font = '9px sans-serif';
-  for (const mark of chromMarks) {{
+  for (const mark of sol.chrom_marks) {{
+    if (mark.x < view.x0 - 1 || mark.x > view.x1) continue;
+    ctx.strokeStyle = '#ddd';
+    ctx.fillStyle = '#666';
     ctx.beginPath();
-    ctx.moveTo(sx(mark.x), pad);
-    ctx.lineTo(sx(mark.x), H - pad);
+    ctx.moveTo(sx(mark.x), PAD);
+    ctx.lineTo(sx(mark.x), canvas.height - PAD);
     ctx.stroke();
-    ctx.fillText(mark.name, sx(mark.x) + 2, pad - 4);
+    ctx.fillText(mark.name, sx(mark.x) + 2, PAD - 4);
   }}
+  ctx.fillStyle = '#666';
   for (let y = 0; y <= maxCopies; y++) {{
     ctx.strokeStyle = y === 0 ? '#999' : '#eee';
-    ctx.beginPath(); ctx.moveTo(pad, sy(y)); ctx.lineTo(W - pad, sy(y)); ctx.stroke();
-    ctx.fillText(y, 4, sy(y) + 3);
+    ctx.beginPath();
+    ctx.moveTo(PAD, sy(y)); ctx.lineTo(canvas.width - PAD, sy(y));
+    ctx.stroke();
+    ctx.fillText(y, 6, sy(y) + 3);
   }}
 
   for (const [col, color] of [[majorCol, '#d62728'], [minorCol, '#1f77b4']]) {{
     ctx.strokeStyle = color;
     ctx.lineWidth = 1.6;
-    for (const seg of segments) {{
+    for (const seg of visibleSegments(sol.segments)) {{
       if (seg[col] === null || seg[col] === undefined) continue;
       ctx.beginPath();
-      ctx.moveTo(sx(seg.x0), sy(seg[col]));
-      ctx.lineTo(sx(seg.x1), sy(seg[col]));
+      ctx.moveTo(sx(Math.max(seg.x0, view.x0)), sy(seg[col]));
+      ctx.lineTo(sx(Math.min(seg.x1, view.x1)), sy(seg[col]));
       ctx.stroke();
     }}
     ctx.lineWidth = 1.0;
   }}
+
+  if (withArcs && document.getElementById('arcs').checked) {{
+    ctx.strokeStyle = 'rgba(80,80,80,0.55)';
+    for (const brk of sol.breakpoints || []) {{
+      if (Math.max(brk.x0, brk.x1) < view.x0 ||
+          Math.min(brk.x0, brk.x1) > view.x1) continue;
+      const xa = sx(brk.x0), xb = sx(brk.x1);
+      const mid = (xa + xb) / 2;
+      ctx.beginPath();
+      ctx.moveTo(xa, PAD + 6);
+      ctx.quadraticCurveTo(mid, PAD - 18, xb, PAD + 6);
+      ctx.stroke();
+    }}
+  }}
 }}
 
-function renderStats(selected) {{
+function renderStats() {{
   let html = '<table><tr>';
   const cols = DATA.stats_columns;
   for (const c of cols) html += '<th>' + c + '</th>';
   html += '</tr>';
   for (const row of DATA.stats) {{
-    const cls = String(row.init_id) === String(selected) ? ' class="selected"' : '';
-    html += '<tr' + cls + '>';
+    const sel = String(row.init_id) === String(view.solution);
+    html += '<tr class="selectable' + (sel ? ' selected' : '') +
+            '" data-id="' + row.init_id + '">';
     for (const c of cols) {{
       let v = row[c];
       if (typeof v === 'number' && !Number.isInteger(v)) v = v.toPrecision(6);
@@ -152,68 +203,165 @@ function renderStats(selected) {{
     html += '</tr>';
   }}
   html += '</table>';
-  document.getElementById('stats').innerHTML = html;
+  const el = document.getElementById('stats');
+  el.innerHTML = html;
+  for (const tr of el.querySelectorAll('tr.selectable')) {{
+    tr.addEventListener('click', () => {{
+      if (DATA.solutions[tr.dataset.id]) {{
+        view.solution = tr.dataset.id;
+        document.getElementById('solution').value = tr.dataset.id;
+        render();
+      }}
+    }});
+  }}
 }}
 
-function render(solutionId) {{
-  const sol = DATA.solutions[solutionId];
-  drawTrack(document.getElementById('raw'), sol.segments, DATA.genome_length,
-            sol.chrom_marks, 'major_raw', 'minor_raw', 4);
-  drawTrack(document.getElementById('clone1'), sol.segments, DATA.genome_length,
-            sol.chrom_marks, 'major_1', 'minor_1', 4);
-  drawTrack(document.getElementById('clone2'), sol.segments, DATA.genome_length,
-            sol.chrom_marks, 'major_2', 'minor_2', 4);
-  renderStats(solutionId);
+function render() {{
+  const sol = DATA.solutions[view.solution];
+  if (!sol) return;
+  drawTrack(document.getElementById('raw'), sol, 'major_raw', 'minor_raw', 4, true);
+  drawTrack(document.getElementById('clone1'), sol, 'major_1', 'minor_1', 4, false);
+  drawTrack(document.getElementById('clone2'), sol, 'major_2', 'minor_2', 4, false);
+  renderStats();
 }}
 
+// solution selector
 const select = document.getElementById('solution');
 for (const id of Object.keys(DATA.solutions)) {{
   const opt = document.createElement('option');
-  opt.value = id; opt.textContent = 'solution ' + id +
+  opt.value = id;
+  opt.textContent = 'solution ' + id +
     (String(id) === String(DATA.best) ? ' (best)' : '');
   select.appendChild(opt);
 }}
 select.value = DATA.best;
-select.addEventListener('change', () => render(select.value));
-render(DATA.best);
+select.addEventListener('change', () => {{ view.solution = select.value; render(); }});
+
+// chromosome zoom selector
+const chromSel = document.getElementById('chromosome');
+const firstSol = DATA.solutions[DATA.best] || Object.values(DATA.solutions)[0];
+const allOpt = document.createElement('option');
+allOpt.value = 'all'; allOpt.textContent = 'all';
+chromSel.appendChild(allOpt);
+for (const mark of (firstSol ? firstSol.chrom_marks : [])) {{
+  const opt = document.createElement('option');
+  opt.value = mark.name; opt.textContent = mark.name;
+  chromSel.appendChild(opt);
+}}
+chromSel.addEventListener('change', () => {{
+  if (chromSel.value === 'all') {{ view.x0 = 0; view.x1 = DATA.genome_length; }}
+  else {{
+    const mark = firstSol.chrom_marks.find(m => m.name === chromSel.value);
+    view.x0 = mark.x; view.x1 = mark.x + mark.len;
+  }}
+  render();
+}});
+document.getElementById('arcs').addEventListener('change', render);
+
+// shared drag-brush zoom + hover tooltips
+const tooltip = document.getElementById('tooltip');
+for (const id of ['raw', 'clone1', 'clone2']) {{
+  const canvas = document.getElementById(id);
+  let dragStart = null;
+  canvas.addEventListener('mousedown', e => {{ dragStart = e.offsetX; }});
+  canvas.addEventListener('mouseup', e => {{
+    if (dragStart === null) return;
+    const a = Math.min(dragStart, e.offsetX), b = Math.max(dragStart, e.offsetX);
+    dragStart = null;
+    if (b - a < 5) return;
+    const toGenome = px => view.x0 + (px - PAD) / (canvas.width - 2 * PAD)
+                           * (view.x1 - view.x0);
+    const nx0 = Math.max(0, toGenome(a)), nx1 = Math.min(DATA.genome_length, toGenome(b));
+    if (nx1 > nx0) {{ view.x0 = nx0; view.x1 = nx1; render(); }}
+  }});
+  canvas.addEventListener('dblclick', () => {{
+    view.x0 = 0; view.x1 = DATA.genome_length;
+    chromSel.value = 'all';
+    render();
+  }});
+  canvas.addEventListener('mousemove', e => {{
+    const sol = DATA.solutions[view.solution];
+    if (!sol) return;
+    const gx = view.x0 + (e.offsetX - PAD) / (canvas.width - 2 * PAD)
+               * (view.x1 - view.x0);
+    const seg = sol.segments.find(s => gx >= s.x0 && gx < s.x1);
+    if (!seg) {{ tooltip.style.display = 'none'; return; }}
+    const fields = ['major_raw', 'minor_raw', 'major_1', 'minor_1',
+                    'major_2', 'minor_2'];
+    let text = seg.chrom + ':' + seg.start + '-' + seg.end;
+    for (const f of fields) {{
+      if (seg[f] !== undefined && seg[f] !== null) text += '<br>' + f + ' = ' + seg[f];
+    }}
+    tooltip.innerHTML = text;
+    tooltip.style.left = (e.pageX + 12) + 'px';
+    tooltip.style.top = (e.pageY + 12) + 'px';
+    tooltip.style.display = 'block';
+  }});
+  canvas.addEventListener('mouseleave', () => {{ tooltip.style.display = 'none'; }});
+}}
+
+render();
 </script>
 </body>
 </html>
 """
 
 
+def _write_report(data, html_filename):
+    with open(html_filename, 'w') as f:
+        f.write(_HTML_TEMPLATE.format(data_json=json.dumps(data)))
+
+
 def create_genome_visualization(cn, brk_cn, html_filename, stats=None):
     """Single-solution genome view as self-contained HTML."""
     segments, chrom_marks, genome_length = _segment_payload(cn)
+    offsets = {m['name']: m['x'] for m in chrom_marks}
     data = {
-        'solutions': {'0': {'segments': segments, 'chrom_marks': chrom_marks}},
+        'solutions': {'0': {
+            'segments': segments,
+            'chrom_marks': chrom_marks,
+            'breakpoints': _brk_payload(brk_cn, offsets),
+        }},
         'genome_length': genome_length,
         'best': '0',
         'stats': [] if stats is None else stats,
         'stats_columns': [] if stats is None else list(stats[0].keys()),
     }
-    with open(html_filename, 'w') as f:
-        f.write(_HTML_TEMPLATE.format(data_json=json.dumps(data)))
+    _write_report(data, html_filename)
 
 
-def create_solutions_visualization(results_filename, html_filename):
+def create_solutions_visualization(results_filename, html_filename,
+                                   max_solutions=12):
     """Multi-solution comparison report from a results store
-    (reference visualize.py:581-640)."""
+    (reference visualize.py:581-640).
+
+    Only the ``max_solutions`` best solutions by ELBO embed their genome
+    tracks (large restart grids would otherwise produce a report too big
+    for the browser); the statistics table always lists every restart.
+    """
     with HDFStore(results_filename, 'r') as store:
         stats = store['stats']
 
+        embedded = stats.sort_values('elbo', ascending=False)[
+            'init_id'].values[:max_solutions]
+
         solutions = {}
         genome_length = 0
-        for init_id in stats['init_id'].values:
-            key = '/solutions/solution_{}/cn'.format(init_id)
+        for init_id in embedded:
             try:
-                cn = store[key]
+                cn = store['/solutions/solution_{}/cn'.format(init_id)]
             except KeyError:
                 continue
+            try:
+                brk_cn = store['/solutions/solution_{}/brk_cn'.format(init_id)]
+            except KeyError:
+                brk_cn = None
             segments, chrom_marks, genome_length = _segment_payload(cn)
+            offsets = {m['name']: m['x'] for m in chrom_marks}
             solutions[str(init_id)] = {
                 'segments': segments,
                 'chrom_marks': chrom_marks,
+                'breakpoints': _brk_payload(brk_cn, offsets),
             }
 
         best_stats = stats.sort_values('elbo', ascending=False).iloc[0]
@@ -238,6 +386,4 @@ def create_solutions_visualization(results_filename, html_filename):
         'stats': stats_records,
         'stats_columns': list(stats.columns),
     }
-
-    with open(html_filename, 'w') as f:
-        f.write(_HTML_TEMPLATE.format(data_json=json.dumps(data)))
+    _write_report(data, html_filename)

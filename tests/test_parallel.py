@@ -129,3 +129,59 @@ def test_cohort_partition_balanced_and_disjoint():
     assert merged == sorted(samples)
     sizes = sorted(len(s) for s in shares)
     assert sizes == [3, 3, 4]
+
+
+def test_restart_batched_sweep_matches_vmap():
+    """The dedicated restart-batched sweep (shared static-transition gather
+    + scheduled per-restart breakend fix-ups) must reproduce the vmapped
+    per-restart sweep exactly."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from remixt_tpu.models import engine as eng
+    from remixt_tpu.parallel import restarts as par
+    from helpers import make_problem
+
+    prob = make_problem(seed=2, N=18, M=2, cn_max=2, num_breakpoints=3,
+                        num_telomeres=2)
+    spec = eng.ModelSpec(
+        cn_states=prob['cn_states'], brk_states=prob['brk_states'],
+        l=prob['l'], x=prob['x'], y=prob['y'],
+        is_telomere=prob['is_telomere'],
+        breakpoint_idx=prob['breakpoint_idx'],
+        breakpoint_orient=prob['breakpoint_orient'],
+        transition_penalty=prob['transition_penalty'],
+        normal_contamination=prob['normal_contamination'],
+        dtype=jnp.float64)
+
+    R = 3
+    params_list = [
+        spec.init_params(prob['h_init'] * (1.0 + 0.05 * r),
+                         prob['divergence_weight'])
+        for r in range(R)]
+    params_b = par.stack_pytrees(params_list)
+    state_b = par.stack_pytrees([spec.init_state()] * R)
+
+    ref = jax.jit(jax.vmap(functools.partial(
+        eng.variational_sweep, spec)))(params_b, state_b)
+    got = jax.jit(functools.partial(
+        eng.variational_sweep_restarts, spec))(params_b, state_b)
+
+    for field in ('posterior_marginals', 'p_breakpoint', 'p_outlier_total',
+                  'p_allele_swap', 'hmm_log_norm_const'):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, field)), np.asarray(getattr(ref, field)),
+            atol=1e-9, err_msg=field)
+
+    # a second sweep exercises the p_breakpoint_used / chain_scale carry
+    ref2 = jax.jit(jax.vmap(functools.partial(
+        eng.variational_sweep, spec)))(params_b, ref)
+    got2 = jax.jit(functools.partial(
+        eng.variational_sweep_restarts, spec))(params_b, got)
+    np.testing.assert_allclose(
+        np.asarray(got2.posterior_marginals),
+        np.asarray(ref2.posterior_marginals), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(got2.p_breakpoint), np.asarray(ref2.p_breakpoint),
+        atol=1e-9)

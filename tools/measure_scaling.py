@@ -50,7 +50,7 @@ def measure(num_devices, num_restarts, N, num_events, iters=5):
     params_b = par.shard_restarts(mesh, params_b)
     state_b = par.shard_restarts(mesh, state_b)
 
-    sweep = jax.jit(jax.vmap(functools.partial(eng.variational_sweep, spec)))
+    sweep = jax.jit(functools.partial(eng.variational_sweep_restarts, spec))
     with mesh:
         state_b = sweep(params_b, state_b)          # compile
         jax.block_until_ready(state_b)
