@@ -154,11 +154,19 @@ def fit_many(experiment, init_params_dict, config):
 
     The restart grid shares a common max_depth by construction, so only
     the divergence weight and h initialization vary — both traced
-    parameters.  This replaces the reference's one-cluster-job-per-restart
-    fan-out with a single process reusing compiled kernels across the grid.
+    parameters.  By default the grid fits in batched chunks (all restarts
+    of a chunk advance through each VI sweep and EM update together —
+    models/fit_batched.py); set ``batch_restarts: false`` for the
+    one-restart-at-a-time driver.  Either way this replaces the
+    reference's one-32GB-cluster-job-per-restart fan-out.
 
     Returns {init_id: fit_results}.
     """
+    batched = config.get('batch_restarts', True) and not config.get(
+        'optimal_initialization', False)
+    if batched and len(init_params_dict) > 1:
+        return _fit_many_batched(experiment, init_params_dict, config)
+
     results = {}
     model = None
     for init_id, init_params in init_params_dict.items():
@@ -169,6 +177,42 @@ def fit_many(experiment, init_params_dict, config):
                 max_depth=init_params['max_depth'],
                 divergence_weight=init_params['divergence_weight'])
         results[init_id] = fit_with_model(model, experiment, init_params, config)
+    return results
+
+
+def _restart_h_init(init_params):
+    return np.array([
+        init_params['h_normal'],
+        init_params['h_tumour'] * init_params['mix_frac'],
+        init_params['h_tumour'] * (1. - init_params['mix_frac']),
+    ])
+
+
+def _fit_many_batched(experiment, init_params_dict, config):
+    """Chunked batched grid fit; same per-restart semantics as the
+    sequential driver (see models/fit_batched.py)."""
+    from remixt_tpu.models.fit_batched import fit_restarts_batched
+
+    init_ids = list(init_params_dict.keys())
+    first = init_params_dict[init_ids[0]]
+    model = build_model(experiment, first, config)
+    model.breakpoint_init = None
+
+    raw = fit_restarts_batched(
+        model,
+        [_restart_h_init(init_params_dict[i]) for i in init_ids],
+        [init_params_dict[i]['divergence_weight'] for i in init_ids],
+        chunk_size=config.get('restart_chunk_size', 12))
+
+    results = {}
+    for init_id, restart in zip(init_ids, raw):
+        model.params = restart['params']
+        model.state = restart['state']
+        model.prev_elbo = restart['elbo']
+        model.prev_elbo_diff = restart['elbo_diff']
+        model.divergence_weight = init_params_dict[init_id]['divergence_weight']
+        results[init_id] = _extract_results(
+            model, experiment, init_params_dict[init_id], config)
     return results
 
 
@@ -225,11 +269,7 @@ def _truth_breakpoint_init(experiment, h_init):
 def fit_with_model(model, experiment, init_params, config,
                    snapshot_filename=None):
     """Run one restart on a (possibly shared) model and extract results."""
-    h_init = np.array([
-        init_params['h_normal'],
-        init_params['h_tumour'] * init_params['mix_frac'],
-        init_params['h_tumour'] * (1. - init_params['mix_frac']),
-    ])
+    h_init = _restart_h_init(init_params)
 
     model.breakpoint_init = (
         _truth_breakpoint_init(experiment, h_init)
@@ -237,6 +277,11 @@ def fit_with_model(model, experiment, init_params, config,
 
     model.fit(h_init, snapshot_filename=snapshot_filename)
 
+    return _extract_results(model, experiment, init_params, config)
+
+
+def _extract_results(model, experiment, init_params, config):
+    """Decode and package one fitted restart's results."""
     cn, brk_cn = model.optimal_cn()
     if remixt_tpu.config.get_param(config, 'disable_breakpoints'):
         brk_cn = decode_breakpoints_naive(

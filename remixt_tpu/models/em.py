@@ -129,60 +129,75 @@ def update_param(spec, params, state, name, bounds, rng, weights=None):
     return candidate, True
 
 
-def _h_update_fn(spec):
-    """Jitted single-dispatch h update: backtracking gradient ascent on the
-    subsample objective plus the full-data accept/reject, all in-graph.
+def _make_h_update(spec):
+    """The raw in-graph h update: backtracking gradient ascent on the
+    subsample objective plus the full-data accept/reject.
 
     Replaces the host-driven L-BFGS-B loop (tens of blocking device
     round-trips per EM iteration) with one device call; the
     reject-on-worse guard (cn_model.py:526-531) is preserved.
     """
+    import functools
+
+    n_outer = 12
+    n_scales = 8
+
+    def f(params, state, sample, full):
+        def obj(h):
+            return eng.expected_log_likelihood(
+                spec, params._replace(h=h), state, sample)
+
+        def outer(carry, _):
+            h, rel_step = carry
+            val, g = jax.value_and_grad(obj)(h)
+            gnorm = jnp.linalg.norm(g) + 1e-12
+            hnorm = jnp.linalg.norm(h) + 1e-12
+            scales = rel_step * (0.5 ** jnp.arange(n_scales, dtype=h.dtype))
+
+            def try_scale(s):
+                h_new = jnp.clip(h + s * (hnorm / gnorm) * g, 1e-8, 10.0)
+                return h_new, obj(h_new)
+
+            cands, vals = jax.vmap(try_scale)(scales)
+            best = jnp.argmax(vals)
+            improved = vals[best] > val
+            h_next = jnp.where(improved, cands[best], h)
+            step_next = jnp.where(improved,
+                                  jnp.minimum(scales[best] * 2.0, 1.0),
+                                  rel_step * (0.5 ** n_scales))
+            return (h_next, step_next), None
+
+        rel0 = jnp.asarray(0.25, dtype=params.h.dtype)
+        (h_fin, _), _ = jax.lax.scan(outer, (params.h, rel0), None,
+                                     length=n_outer)
+
+        def obj_full(h):
+            return eng.expected_log_likelihood(
+                spec, params._replace(h=h), state, full)
+
+        accept = obj_full(h_fin) >= obj_full(params.h)
+        h_out = jnp.where(accept, h_fin, params.h)
+        return params._replace(h=h_out), accept
+
+    return f
+
+
+def _h_update_fn(spec):
+    """Jitted single-restart h update."""
     cache = spec._jit_cache
     if 'h_update' not in cache:
-        import functools
-
-        n_outer = 12
-        n_scales = 8
-
-        def f(params, state, sample, full):
-            def obj(h):
-                return eng.expected_log_likelihood(
-                    spec, params._replace(h=h), state, sample)
-
-            def outer(carry, _):
-                h, rel_step = carry
-                val, g = jax.value_and_grad(obj)(h)
-                gnorm = jnp.linalg.norm(g) + 1e-12
-                hnorm = jnp.linalg.norm(h) + 1e-12
-                scales = rel_step * (0.5 ** jnp.arange(n_scales, dtype=h.dtype))
-
-                def try_scale(s):
-                    h_new = jnp.clip(h + s * (hnorm / gnorm) * g, 1e-8, 10.0)
-                    return h_new, obj(h_new)
-
-                cands, vals = jax.vmap(try_scale)(scales)
-                best = jnp.argmax(vals)
-                improved = vals[best] > val
-                h_next = jnp.where(improved, cands[best], h)
-                step_next = jnp.where(improved,
-                                      jnp.minimum(scales[best] * 2.0, 1.0),
-                                      rel_step * (0.5 ** n_scales))
-                return (h_next, step_next), None
-
-            rel0 = jnp.asarray(0.25, dtype=params.h.dtype)
-            (h_fin, _), _ = jax.lax.scan(outer, (params.h, rel0), None,
-                                         length=n_outer)
-
-            def obj_full(h):
-                return eng.expected_log_likelihood(
-                    spec, params._replace(h=h), state, full)
-
-            accept = obj_full(h_fin) >= obj_full(params.h)
-            h_out = jnp.where(accept, h_fin, params.h)
-            return params._replace(h=h_out), accept
-
-        cache['h_update'] = jax.jit(f)
+        cache['h_update'] = jax.jit(_make_h_update(spec))
     return cache['h_update']
+
+
+def _h_update_batched_fn(spec):
+    """Jitted restart-batched h update: params/state/sample batched, the
+    full-data indicator shared."""
+    cache = spec._jit_cache
+    if 'h_update_b' not in cache:
+        cache['h_update_b'] = jax.jit(
+            jax.vmap(_make_h_update(spec), in_axes=(0, 0, 0, None)))
+    return cache['h_update_b']
 
 
 def update_h_fused(spec, params, state, rng):
@@ -193,57 +208,74 @@ def update_h_fused(spec, params, state, rng):
     return params, bool(accept)
 
 
-def _params_update_fn(spec, names, bounds):
-    """Jitted single-dispatch update of all scalar likelihood parameters:
+def _make_params_update(spec, names, bounds):
+    """The raw in-graph update of all scalar likelihood parameters:
     per-parameter 3-level batched grid zoom on its subsample plus full-data
     accept/reject, sequentially in-graph (brute-replacement,
     cn_model.py:533-569)."""
+    levels = GRID_LEVELS
+    points = GRID_POINTS
+    grid01 = jnp.linspace(0.0, 1.0, points)
+
+    def f(params, state, samples, full):
+        accepts = []
+        for i, name in enumerate(names):
+            lo_c, hi_c = bounds[name]
+            sample = samples[i]
+
+            def level(carry, _, name=name, lo_c=lo_c, hi_c=hi_c,
+                      sample=sample, params=params):
+                lo, hi, best = carry
+                values = lo + (hi - lo) * grid01.astype(spec.dtype)
+
+                def one(v):
+                    return eng.expected_log_likelihood(
+                        spec, params._replace(**{name: v}), state, sample)
+
+                objs = jax.vmap(one)(values)
+                idx = jnp.argmax(objs)
+                best = values[idx]
+                step = (hi - lo) / (points - 1)
+                lo = jnp.maximum(jnp.asarray(lo_c, spec.dtype), best - step)
+                hi = jnp.minimum(jnp.asarray(hi_c, spec.dtype), best + step)
+                return (lo, hi, best), None
+
+            init = (jnp.asarray(lo_c, spec.dtype),
+                    jnp.asarray(hi_c, spec.dtype),
+                    getattr(params, name))
+            (_, _, best), _ = jax.lax.scan(level, init, None, length=levels)
+
+            def ell_at(v, name=name):
+                return eng.expected_log_likelihood(
+                    spec, params._replace(**{name: v}), state, full)
+
+            accept = ell_at(best) >= ell_at(getattr(params, name))
+            new_val = jnp.where(accept, best, getattr(params, name))
+            params = params._replace(**{name: new_val})
+            accepts.append(accept)
+        return params, jnp.stack(accepts)
+
+    return f
+
+
+def _params_update_fn(spec, names, bounds):
+    """Jitted single-restart likelihood-parameter update."""
     cache = spec._jit_cache
     key = ('params_update', names)
     if key not in cache:
-        levels = GRID_LEVELS
-        points = GRID_POINTS
-        grid01 = jnp.linspace(0.0, 1.0, points)
+        cache[key] = jax.jit(_make_params_update(spec, names, bounds))
+    return cache[key]
 
-        def f(params, state, samples, full):
-            accepts = []
-            for i, name in enumerate(names):
-                lo_c, hi_c = bounds[name]
-                sample = samples[i]
 
-                def level(carry, _, name=name, lo_c=lo_c, hi_c=hi_c,
-                          sample=sample, params=params):
-                    lo, hi, best = carry
-                    values = lo + (hi - lo) * grid01.astype(spec.dtype)
-
-                    def one(v):
-                        return eng.expected_log_likelihood(
-                            spec, params._replace(**{name: v}), state, sample)
-
-                    objs = jax.vmap(one)(values)
-                    idx = jnp.argmax(objs)
-                    best = values[idx]
-                    step = (hi - lo) / (points - 1)
-                    lo = jnp.maximum(jnp.asarray(lo_c, spec.dtype), best - step)
-                    hi = jnp.minimum(jnp.asarray(hi_c, spec.dtype), best + step)
-                    return (lo, hi, best), None
-
-                init = (jnp.asarray(lo_c, spec.dtype),
-                        jnp.asarray(hi_c, spec.dtype),
-                        getattr(params, name))
-                (_, _, best), _ = jax.lax.scan(level, init, None, length=levels)
-
-                def ell_at(v, name=name):
-                    return eng.expected_log_likelihood(
-                        spec, params._replace(**{name: v}), state, full)
-
-                accept = ell_at(best) >= ell_at(getattr(params, name))
-                new_val = jnp.where(accept, best, getattr(params, name))
-                params = params._replace(**{name: new_val})
-                accepts.append(accept)
-            return params, jnp.stack(accepts)
-
-        cache[key] = jax.jit(f)
+def _params_update_batched_fn(spec, names, bounds):
+    """Jitted restart-batched likelihood-parameter update:
+    params/state/samples batched, the full-data indicator shared."""
+    cache = spec._jit_cache
+    key = ('params_update_b', names)
+    if key not in cache:
+        cache[key] = jax.jit(jax.vmap(
+            _make_params_update(spec, names, bounds),
+            in_axes=(0, 0, 0, None)))
     return cache[key]
 
 
@@ -259,6 +291,39 @@ def update_params_fused(spec, params, state, names, bounds, rng,
     params, accepts = _params_update_fn(spec, tuple(names), bounds)(
         params, state, samples, full)
     return params, np.asarray(accepts)
+
+
+def update_h_fused_batched(spec, params_b, state_b, rngs):
+    """Restart-batched EM h update; one independent subsample per restart
+    (matching the sequential driver's per-restart RNG streams)."""
+    samples = jnp.asarray(
+        np.stack([create_sample(rng, spec.N) for rng in rngs]),
+        dtype=spec.dtype)
+    full = jnp.ones(spec.N, dtype=spec.dtype)
+    params_b, accepts = _h_update_batched_fn(spec)(
+        params_b, state_b, samples, full)
+    return params_b, np.asarray(accepts)
+
+
+def update_params_fused_batched(spec, params_b, state_b, names, bounds, rngs,
+                                weights_lists=None):
+    """Restart-batched EM update of all scalar likelihood parameters.
+
+    ``weights_lists[r][i]`` are restart r's posterior-responsibility
+    sampling weights for parameter i (param_sample_weights on that
+    restart's state).
+    """
+    samples = np.empty((len(rngs), len(names), spec.N))
+    for r, rng in enumerate(rngs):
+        for i, name in enumerate(names):
+            weights = (None if weights_lists is None
+                       else weights_lists[r][i])
+            samples[r, i] = create_sample(rng, spec.N, weights)
+    samples = jnp.asarray(samples, dtype=spec.dtype)
+    full = jnp.ones(spec.N, dtype=spec.dtype)
+    params_b, accepts = _params_update_batched_fn(spec, tuple(names), bounds)(
+        params_b, state_b, samples, full)
+    return params_b, np.asarray(accepts)
 
 
 def param_sample_weights(spec, state, name):

@@ -1,0 +1,128 @@
+"""Batched restart-grid fitting: the whole grid as stacked pytrees.
+
+The sequential driver (analysis/pipeline.fit_many) shares one compiled
+engine but still runs restarts one at a time — each a few seconds of
+mostly-underfilled chip.  Here the grid fits in chunks of stacked
+restarts: every VI sweep runs through the restart-batched scan
+(engine.variational_sweep_restarts) and both EM updates through their
+vmapped fused forms, so a chunk of R restarts costs barely more wall
+clock than one.
+
+Per-restart semantics match the sequential driver exactly: each restart
+gets its own EM-subsample RNG stream seeded identically (the sequential
+driver reseeds per fit), the divergence weight and h ride the traced
+Params, and the full-data accept/reject guards apply per restart.
+Reference analog: one 32 GB cluster job per restart
+(/root/reference/remixt/workflow.py:318-340).
+"""
+
+import functools
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from remixt_tpu.models import em as em_mod
+from remixt_tpu.models import engine as eng
+
+logger = logging.getLogger('remixt_tpu.fit_batched')
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _slice(tree, r):
+    return jax.tree.map(lambda x: x[r], tree)
+
+
+def _elbo_batched_fn(spec):
+    cache = spec._jit_cache
+    if 'elbo_b' not in cache:
+        cache['elbo_b'] = jax.jit(jax.vmap(
+            functools.partial(eng.calculate_elbo, spec)))
+    return cache['elbo_b']
+
+
+def _sweep_batched_fn(spec):
+    cache = spec._jit_cache
+    if 'sweep_b' not in cache:
+        cache['sweep_b'] = jax.jit(
+            functools.partial(eng.variational_sweep_restarts, spec))
+    return cache['sweep_b']
+
+
+def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
+    """Fit every restart of the grid in batched chunks on one model.
+
+    Args:
+        model: a BreakpointModel whose spec will be (re)used
+        h_inits: list of (M,) h initializations, one per restart
+        divergence_weights: matching list of divergence weights
+        chunk_size: restarts fit simultaneously (memory-bound)
+
+    Returns:
+        list of per-restart dicts with params, state, elbo, elbo_diff.
+    """
+    num_restarts = len(h_inits)
+    M = len(h_inits[0])
+    if model.spec is None or getattr(model, '_spec_num_clones', None) != M:
+        model.spec = model._build_spec(M)
+        model._spec_num_clones = M
+    spec = model.spec
+
+    results = []
+    for begin in range(0, num_restarts, chunk_size):
+        chunk = list(range(begin, min(begin + chunk_size, num_restarts)))
+        R = len(chunk)
+        logger.info('fitting restarts %d-%d batched', chunk[0], chunk[-1])
+
+        params_b = _stack([
+            spec.init_params(
+                h_inits[r], divergence_weights[r],
+                total_mask=model._total_likelihood_mask.astype(float),
+                allele_mask=model._allele_likelihood_mask.astype(float))
+            for r in chunk])
+        state_b = _stack(
+            [spec.init_state(model._init_p_breakpoint())] * R)
+
+        # the sequential driver reseeds per restart, so every restart owns
+        # an identical-seed independent stream
+        rngs = [np.random.RandomState(model.random_seed) for _ in chunk]
+
+        sweep_b = _sweep_batched_fn(spec)
+        elbo_b = _elbo_batched_fn(spec)
+
+        prev_elbo = np.asarray(elbo_b(params_b, state_b), dtype=float)
+        elbo_diff = np.zeros(R)
+
+        for _ in range(model.num_em_iter):
+            for _ in range(model.num_update_iter):
+                state_b = sweep_b(params_b, state_b)
+
+            if model.do_h_update:
+                params_b, _ = em_mod.update_h_fused_batched(
+                    spec, params_b, state_b, rngs)
+
+            weights_lists = [
+                [em_mod.param_sample_weights(spec, _slice(state_b, i), name)
+                 for name in model.likelihood_params]
+                for i in range(R)]
+            params_b, _ = em_mod.update_params_fused_batched(
+                spec, params_b, state_b, tuple(model.likelihood_params),
+                model.likelihood_param_bounds, rngs,
+                weights_lists=weights_lists)
+
+            elbo = np.asarray(elbo_b(params_b, state_b), dtype=float)
+            elbo_diff = elbo - prev_elbo
+            prev_elbo = elbo
+
+        for i in range(R):
+            results.append({
+                'params': _slice(params_b, i),
+                'state': _slice(state_b, i),
+                'elbo': float(prev_elbo[i]),
+                'elbo_diff': float(elbo_diff[i]),
+            })
+    return results

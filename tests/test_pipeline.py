@@ -172,3 +172,48 @@ def test_solution_quality(pipeline_run):
     exact = np.all(dec == truth, axis=(1, 2)) | np.all(dec == truth[:, :, ::-1], axis=(1, 2))
     # lenient: restart grid is trimmed to 2 and EM budget is tiny
     assert exact.mean() > 0.3, f'recovered {exact.mean()}'
+
+
+def test_fit_many_batched_matches_sequential(tmp_path):
+    """The chunked batched grid driver must reproduce the sequential
+    one-restart-at-a-time driver: identical RNG streams per restart, so
+    results agree to float64 numerics."""
+    data = sim.simulate_experiment(
+        N=40, M=3, h=(0.08, 0.05, 0.025), cn_max=6,
+        negbin_r=2000., betabin_M=2000., frac_genotyped=0.5, seed=9)
+    count_data, breakpoint_data = make_tables(data)
+    experiment = Experiment(count_data, breakpoint_data)
+    experiment_filename = str(tmp_path / 'experiment.pickle')
+    with open(experiment_filename, 'wb') as f:
+        pickle.dump(experiment, f)
+
+    config = {
+        'max_copy_number': 6,
+        'num_em_iter': 2,
+        'num_update_iter': 2,
+        'engine_dtype': 'float64',
+        'tumour_mix_fractions': [0.45, 0.2],
+        'divergence_weights': [1e-6, 1e-8],
+    }
+    init_file = str(tmp_path / 'init.h5')
+    init_params = pipeline.init(init_file, experiment_filename, config)
+    assert len(init_params) >= 4
+
+    seq = pipeline.fit_many(
+        experiment, init_params, dict(config, batch_restarts=False))
+    bat = pipeline.fit_many(
+        experiment, init_params, dict(config, batch_restarts=True,
+                                      restart_chunk_size=3))
+
+    assert set(seq.keys()) == set(bat.keys())
+    for init_id in seq:
+        np.testing.assert_allclose(
+            bat[init_id]['h'], seq[init_id]['h'], rtol=1e-7,
+            err_msg='restart {}'.format(init_id))
+        np.testing.assert_array_equal(
+            bat[init_id]['cn'], seq[init_id]['cn'])
+        np.testing.assert_allclose(
+            bat[init_id]['stats']['elbo'], seq[init_id]['stats']['elbo'],
+            rtol=1e-8)
+        for bp_id, cn in seq[init_id]['brk_cn'].items():
+            np.testing.assert_array_equal(bat[init_id]['brk_cn'][bp_id], cn)
