@@ -26,50 +26,45 @@ def _execute(*args):
 def infer_snp_genotype(data, base_call_error=0.005, call_threshold=0.9):
     """Binomial-posterior genotype calls; adds AA/AB/BB indicator columns
     in place (haplotype.py:14-44)."""
-    data['total_count'] = data['ref_count'] + data['alt_count']
+    ref = data['ref_count'].values
+    alt = data['alt_count'].values
+    total = ref + alt
+    data['total_count'] = total
 
-    data['likelihood_AA'] = scipy.stats.binom.pmf(
-        data['alt_count'], data['total_count'], base_call_error)
-    data['likelihood_AB'] = scipy.stats.binom.pmf(
-        data['alt_count'], data['total_count'], 0.5)
-    data['likelihood_BB'] = scipy.stats.binom.pmf(
-        data['ref_count'], data['total_count'], base_call_error)
-    data['evidence'] = (data['likelihood_AA'] + data['likelihood_AB']
-                        + data['likelihood_BB'])
-
-    data['posterior_AA'] = data['likelihood_AA'] / data['evidence']
-    data['posterior_AB'] = data['likelihood_AB'] / data['evidence']
-    data['posterior_BB'] = data['likelihood_BB'] / data['evidence']
-
-    data['AA'] = (data['posterior_AA'] >= call_threshold) * 1
-    data['AB'] = (data['posterior_AB'] >= call_threshold) * 1
-    data['BB'] = (data['posterior_BB'] >= call_threshold) * 1
+    # per-genotype binomial likelihoods of the observed allele split
+    likelihoods = {
+        'AA': scipy.stats.binom.pmf(alt, total, base_call_error),
+        'AB': scipy.stats.binom.pmf(alt, total, 0.5),
+        'BB': scipy.stats.binom.pmf(ref, total, base_call_error),
+    }
+    evidence = np.add.reduce(list(likelihoods.values()))
+    data['evidence'] = evidence
+    for genotype, likelihood in likelihoods.items():
+        posterior = likelihood / evidence
+        data['likelihood_' + genotype] = likelihood
+        data['posterior_' + genotype] = posterior
+        data[genotype] = (posterior >= call_threshold).astype(int)
 
 
 def read_snp_counts(seqdata_filename, chromosome, num_rows=1000000):
     """Ref/alt read counts per SNP (haplotype.py:47-95)."""
-    snp_counts = []
+    chunks = []
     for alleles_chunk in remixt_tpu.seqdataio.read_allele_data(
             seqdata_filename, chromosome, chunksize=num_rows):
         if len(alleles_chunk.index) == 0:
-            snp_counts.append(pd.DataFrame(
+            chunks.append(pd.DataFrame(
                 columns=['position', 'ref_count', 'alt_count'], dtype=int))
             continue
-
-        snp_counts_chunk = (
+        chunks.append(
             alleles_chunk
-            .groupby(['position', 'is_alt'])
-            .size()
-            .unstack(fill_value=0)
-            .reindex(columns=[0, 1])
-            .fillna(0)
-            .astype(int)
-            .rename(columns=lambda a: {0: 'ref_count', 1: 'alt_count'}[a])
+            .pivot_table(index='position', columns='is_alt',
+                         aggfunc='size', fill_value=0)
+            .reindex(columns=[0, 1], fill_value=0)
+            .rename(columns={0: 'ref_count', 1: 'alt_count'})
             .reset_index()
         )
-        snp_counts.append(snp_counts_chunk)
 
-    snp_counts = pd.concat(snp_counts, ignore_index=True)
+    snp_counts = pd.concat(chunks, ignore_index=True)
 
     if len(snp_counts.index) == 0:
         return pd.DataFrame(columns=['position', 'ref_count', 'alt_count']).astype(int)
