@@ -147,6 +147,34 @@ def time_restart_batched_sweep(spec, params, state, num_restarts, iters=5):
     return num_restarts * spec.N / dt
 
 
+def time_batched_grid_fit(model, data, num_restarts):
+    """The production grid path: all restarts batched through the full EM
+    fit (models/fit_batched.py). Assumes compiled kernels are warm."""
+    from remixt_tpu.models.fit_batched import fit_restarts_batched
+
+    rng = np.random.RandomState(1)
+    h_inits = [data['h'] * (1.0 + 0.1 * rng.rand(3))
+               for _ in range(num_restarts)]
+    weights = [10.0 ** -rng.randint(6, 9) for _ in range(num_restarts)]
+
+    t0 = time.time()
+    results = fit_restarts_batched(model, h_inits, weights,
+                                   chunk_size=num_restarts)
+    cold = time.time() - t0
+    t0 = time.time()
+    results = fit_restarts_batched(model, h_inits, weights,
+                                   chunk_size=num_restarts)
+    warm = time.time() - t0
+    assert all(np.isfinite(r['elbo']) for r in results)
+    return {
+        'batched_grid_restarts': num_restarts,
+        'batched_grid_fit_cold_s': round(cold, 2),
+        'batched_grid_fit_warm_s': round(warm, 2),
+        'batched_grid_restarts_per_min_warm': round(
+            60.0 * num_restarts / warm, 2),
+    }
+
+
 def time_full_fit(model, data):
     """Whole-genome production fit: 5 EM x 5 VI + h + param grids + decode."""
     t0 = time.time()
@@ -280,6 +308,9 @@ def main():
 
     log('full fit (5 EM x 5 VI)...')
     detail.update(time_full_fit(model, data))
+
+    log('batched grid fit (R={} full fits)...'.format(NUM_RESTARTS))
+    detail.update(time_batched_grid_fit(model, data, NUM_RESTARTS))
 
     log('cpu 1-core engine baseline...')
     cpu_segs = run_subprocess_baseline('--cpu-baseline')

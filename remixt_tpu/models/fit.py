@@ -179,10 +179,14 @@ class BreakpointModel:
 
         # the Pallas forward-backward kernel runs on TPU in float32;
         # `use_pallas=None` (the default) auto-enables it there, while the
-        # config knob `use_pallas_fb` can force it off (defaults.py)
+        # config knob `use_pallas_fb` can force it off (defaults.py).
+        # Global x64 promotes Mosaic's DMA slice indices to i64 (a
+        # verification error), so x64 processes take the scan path even for
+        # an f32 spec.
         import jax
         pallas_capable = (jax.default_backend() not in ('cpu',)
-                          and self.dtype == jnp.float32)
+                          and self.dtype == jnp.float32
+                          and not jax.config.jax_enable_x64)
         if self.use_pallas is None:
             spec.use_pallas = pallas_capable
         else:
