@@ -202,8 +202,19 @@ def gate_em(N, seed=0):
 
 
 def gate_pallas(N, num_sweeps=5, seed=0, interpret=False):
-    """f32 Pallas kernel path vs f32 lax.scan path, same sweeps."""
+    """f32 Pallas kernel path vs f32 lax.scan path, same sweeps.
+
+    Must run WITHOUT global x64 (this tool enables it for the oracle
+    gates): spawn via --pallas-subprocess, or read the identical
+    measurement bench.py records in BENCH_DETAIL.json on every TPU run.
+    """
     import jax
+
+    if jax.config.jax_enable_x64 and not interpret:
+        raise SystemExit(
+            'the pallas gate needs an x64-free process (Mosaic rejects i64 '
+            'DMA indices); run `python bench.py` (records pallas_vs_scan in '
+            'BENCH_DETAIL.json) or use --interpret at reduced --n')
 
     model, data = make_problem(N=N, seed=seed, dtype_name='float32')
     h_init = data['h']
