@@ -97,3 +97,33 @@ def test_segment_remap_roundtrip():
     np.testing.assert_array_equal(seg_idx, [0, 0, 0, 1, 1, 2, 2])
     np.testing.assert_array_equal(
         remapped, [100, 150, 199, 500, 649, 900, 999])
+
+
+def test_resample_mixture_read_data(small_genome, tmp_path):
+    """Resampling real reads to simulated depths: output fragments are a
+    subset-with-replacement of the source positions at roughly the
+    requested total depth."""
+    genome = small_genome
+    snps = make_snps(genome)
+
+    source = str(tmp_path / 'source.h5')
+    np.random.seed(21)
+    seqread.simulate_mixture_read_data(source, [genome], [0.05], snps, PARAMS)
+
+    out = str(tmp_path / 'resampled.h5')
+    np.random.seed(22)
+    seqread.resample_mixture_read_data(
+        out, source, [genome], [0.02], snps, PARAMS)
+
+    total = 0
+    for chromosome in seqdataio.read_chromosomes(out):
+        fragments = seqdataio.read_fragment_data(out, chromosome)
+        total += len(fragments.index)
+        source_fragments = seqdataio.read_fragment_data(source, chromosome)
+        # every resampled interval exists in the source
+        src = set(map(tuple, source_fragments[['start', 'end']].values))
+        got = set(map(tuple, fragments[['start', 'end']].values))
+        assert got <= src
+
+    expected = genome.segment_copy_table()['length'].sum() * 0.02
+    assert 0.4 * expected < total < 2.0 * expected
