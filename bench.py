@@ -309,8 +309,12 @@ def main():
     log('full fit (5 EM x 5 VI)...')
     detail.update(time_full_fit(model, data))
 
-    log('batched grid fit (R={} full fits)...'.format(NUM_RESTARTS))
-    detail.update(time_batched_grid_fit(model, data, NUM_RESTARTS))
+    if os.environ.get('BENCH_GRID'):
+        # ~15 min of batched-EM compiles; opt-in so the default driver run
+        # stays fast. The production-scale measurement lives in the
+        # checked-in accuracy benchmark run (benchmark/ACCURACY_BENCH.json).
+        log('batched grid fit (R={} full fits)...'.format(NUM_RESTARTS))
+        detail.update(time_batched_grid_fit(model, data, NUM_RESTARTS))
 
     log('cpu 1-core engine baseline...')
     cpu_segs = run_subprocess_baseline('--cpu-baseline')
