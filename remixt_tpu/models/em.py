@@ -31,6 +31,21 @@ GRID_POINTS = 20
 GRID_LEVELS = 3
 
 
+def _chunked_eval(one, values, group_size):
+    """Evaluate ``one`` over candidate values in vmapped groups of
+    ``group_size``, scanning across groups — caps the transient memory of
+    candidate sweeps at group_size x one-evaluation (the full vmap OOMs
+    under restart batching: 20 candidates x R restarts x (N, S)
+    emission intermediates)."""
+    grouped = values.reshape(-1, group_size)
+
+    def body(carry, group):
+        return carry, jax.vmap(one)(group)
+
+    _, objs = jax.lax.scan(body, None, grouped)
+    return objs.reshape(-1)
+
+
 def create_sample(rng, num_segments, weights=None):
     """Random segment subsample indicator (cn_model.py:475-480)."""
     sample_size = int(min(200, num_segments / 10))
@@ -158,7 +173,13 @@ def _make_h_update(spec):
                 h_new = jnp.clip(h + s * (hnorm / gnorm) * g, 1e-8, 10.0)
                 return h_new, obj(h_new)
 
-            cands, vals = jax.vmap(try_scale)(scales)
+            def scale_group(carry, group):
+                return carry, jax.vmap(try_scale)(group)
+
+            _, (cands, vals) = jax.lax.scan(
+                scale_group, None, scales.reshape(-1, 2))
+            cands = cands.reshape(n_scales, -1)
+            vals = vals.reshape(n_scales)
             best = jnp.argmax(vals)
             improved = vals[best] > val
             h_next = jnp.where(improved, cands[best], h)
@@ -232,7 +253,7 @@ def _make_params_update(spec, names, bounds):
                     return eng.expected_log_likelihood(
                         spec, params._replace(**{name: v}), state, sample)
 
-                objs = jax.vmap(one)(values)
+                objs = _chunked_eval(one, values, 4)
                 idx = jnp.argmax(objs)
                 best = values[idx]
                 step = (hi - lo) / (points - 1)
