@@ -316,6 +316,17 @@ class ModelSpec:
                 np.asarray(self.chain_bank_idx), self.num_static_bank)
         return self._restart_plan
 
+    def pallas_restart_plan(self, num_restarts):
+        cache = getattr(self, '_pallas_restart_plans', None)
+        if cache is None:
+            cache = self._pallas_restart_plans = {}
+        if num_restarts not in cache:
+            from remixt_tpu.ops import fb_pallas
+            cache[num_restarts] = fb_pallas.build_pallas_plan_restarts(
+                np.asarray(self.chain_bank_idx), self.num_static_bank,
+                self.Q, self.L, self.S, num_restarts, self.J)
+        return cache[num_restarts]
+
     # -- initial pytrees -----------------------------------------------------
 
     def init_params(self, h_init, divergence_weight,
@@ -675,9 +686,18 @@ def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b):
     be_bank_b = jax.vmap(
         lambda pb: breakend_tmats(spec, pb))(state_b.p_breakpoint)
 
-    alphas, betas, log_norm = fb_scan.forward_backward_chains_restarts(
-        frame_b, spec.static_bank, be_bank_b, spec.restart_plan,
-        np.asarray(spec.chain_seg_map), spec.chain_last)
+    if spec.use_pallas and spec.chain_constraint is None:
+        # restart-tiled Pallas kernel: restarts fold into the lane axis
+        from remixt_tpu.ops import fb_pallas
+        alphas, betas, log_norm = (
+            fb_pallas.forward_backward_chains_pallas_restarts(
+                frame_b, spec.static_bank, be_bank_b,
+                np.asarray(spec.chain_seg_map), spec.chain_last,
+                spec.pallas_restart_plan(R)))
+    else:
+        alphas, betas, log_norm = fb_scan.forward_backward_chains_restarts(
+            frame_b, spec.static_bank, be_bank_b, spec.restart_plan,
+            np.asarray(spec.chain_seg_map), spec.chain_last)
 
     marginals = exp_normalize(alphas + betas, axis=-1)
     return state_b._replace(

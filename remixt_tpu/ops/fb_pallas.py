@@ -291,3 +291,116 @@ def forward_backward_chains_pallas(framelogprob, static_bank, be_bank,
         betas_b.reshape(-1, S).astype(framelogprob.dtype))[:N]
 
     return alphas, betas, log_norm
+
+
+def build_pallas_plan_restarts(chain_bank_idx_np, num_static_bank, Q, L, S,
+                               num_restarts, num_breakends):
+    """Kernel schedule for restart-tiled lanes.
+
+    The restart axis folds into the lane axis: lane r*Q+q carries restart
+    r's chain q. Class structure repeats per restart tile; breakend
+    fix-ups multiply by R, each pointing at its restart's matrix (slot
+    r*J + j).
+    """
+    R = num_restarts
+    J = num_breakends
+    Sp = _round_up(S, 128)
+    RQ = R * Q
+    RQp = _round_up(max(RQ, 8), 8)
+    nsteps = max(L - 1, 1)
+
+    cls_idx = chain_bank_idx_np.T.copy()              # (L-1, Q)
+    is_be = cls_idx >= num_static_bank
+    be_slot = np.where(is_be, cls_idx - num_static_bank, 0)
+    cls_idx = np.where(is_be, 0, cls_idx)
+    if num_static_bank > CLS_CHANNELS:
+        raise ValueError('too many static transition classes for the kernel')
+
+    cls_onehot = np.zeros((L, RQp, CLS_CHANNELS), dtype=np.float32)
+    cls_onehot[:, :, 0] = 1.0                         # pads + column 0: cut
+    for t in range(1, L):
+        for q in range(Q):
+            for r in range(R):
+                cls_onehot[t, r * Q + q, :] = 0.0
+                cls_onehot[t, r * Q + q, cls_idx[t - 1, q]] = 1.0
+
+    steps, lanes = np.nonzero(is_be)
+    kmax = max(int(np.bincount(steps, minlength=1).max()) * R
+               if len(steps) else 1, 1)
+    sched_lane = -np.ones((kmax, L), dtype=np.int32)
+    sched_slot = np.zeros((kmax, L), dtype=np.int32)
+    fill = np.zeros(L, dtype=np.int32)
+    for t, q in zip(steps, lanes):
+        col = t + 1
+        for r in range(R):
+            sched_lane[fill[col], col] = r * Q + q
+            sched_slot[fill[col], col] = r * J + be_slot[t, q]
+            fill[col] += 1
+
+    return dict(Sp=Sp, Qp=RQp, kmax=kmax, cls_onehot=cls_onehot,
+                sched_lane=sched_lane, sched_slot=sched_slot,
+                num_restarts=R, Q=Q)
+
+
+def forward_backward_chains_pallas_restarts(frame_b, static_bank, be_bank_b,
+                                            chain_seg_map, chain_last, plan,
+                                            interpret=False):
+    """Restart-batched Pallas forward-backward: restarts tiled into lanes.
+
+    Args:
+        frame_b: (R, N, S) per-restart emission log probs
+        static_bank: (num_static, S, S) shared log-weights
+        be_bank_b: (R, J, S, S) per-restart breakend log-weights
+        plan: build_pallas_plan_restarts output
+
+    Returns alphas (R, N, S), betas (R, N, S), log_norm (R,).
+    """
+    R, N, S = frame_b.shape
+    Q, L = chain_seg_map.shape
+    Sp, RQp = plan['Sp'], plan['Qp']
+    J = be_bank_b.shape[1]
+
+    pad_row = jnp.zeros((R, 1, S), dtype=frame_b.dtype)
+    frame_ext = jnp.concatenate([frame_b, pad_row], axis=1)
+    F = frame_ext[:, chain_seg_map.reshape(-1)].reshape(R, Q, L, S)
+    Ft = jnp.transpose(F, (2, 0, 1, 3)).reshape(L, R * Q, S)
+    Ftp = jnp.full((L, RQp, Sp), NEG, dtype=jnp.float32)
+    Ftp = Ftp.at[:, R * Q:, :].set(0.0)
+    Ftp = Ftp.at[:, :R * Q, :S].set(Ft.astype(jnp.float32))
+
+    static_exp = jnp.zeros((static_bank.shape[0], Sp, Sp), dtype=jnp.float32)
+    static_exp = static_exp.at[:, :S, :S].set(
+        jnp.exp(static_bank).astype(jnp.float32))
+    be_exp = jnp.zeros((max(R * J, 1), Sp, Sp), dtype=jnp.float32)
+    if J:
+        be_exp = be_exp.at[:R * J, :S, :S].set(
+            jnp.exp(be_bank_b).astype(jnp.float32).reshape(R * J, S, S))
+
+    alphas_tm = _run_direction(
+        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
+        interpret=interpret)
+
+    Hrev = jnp.concatenate(
+        [jnp.zeros((1, RQp, Sp), dtype=jnp.float32), Ftp[::-1][:-1]], axis=0)
+    betas_rev = _run_direction(
+        Hrev, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
+        interpret=interpret)
+    betas_tm = betas_rev[::-1]
+
+    alphas_b = jnp.swapaxes(alphas_tm, 0, 1)[:R * Q, :, :S].reshape(
+        R, Q, L, S)
+    betas_b = jnp.swapaxes(betas_tm, 0, 1)[:R * Q, :, :S].reshape(R, Q, L, S)
+
+    from remixt_tpu.ops.special import logsumexp
+    last = chain_last[None, :, None, None].astype(jnp.int32) * jnp.ones(
+        (R, Q, 1, 1), jnp.int32)
+    alpha_last = jnp.take_along_axis(alphas_b, last, axis=2)[:, :, 0, :]
+    log_norm = jnp.sum(logsumexp(alpha_last, axis=-1), axis=-1)
+
+    alphas = jnp.zeros((R, N + 1, S), dtype=frame_b.dtype)
+    alphas = alphas.at[:, chain_seg_map.reshape(-1)].set(
+        alphas_b.reshape(R, -1, S).astype(frame_b.dtype))[:, :N]
+    betas = jnp.zeros((R, N + 1, S), dtype=frame_b.dtype)
+    betas = betas.at[:, chain_seg_map.reshape(-1)].set(
+        betas_b.reshape(R, -1, S).astype(frame_b.dtype))[:, :N]
+    return alphas, betas, log_norm
