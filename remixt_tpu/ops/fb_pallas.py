@@ -84,10 +84,12 @@ def build_pallas_plan(chain_bank_idx_np, num_static_bank, Q, L, S):
 def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
                        frame_ref, cls_ref, static_exp_ref, be_exp_ref,
                        out_ref, carry_ref, be_scratch, sems,
-                       *, kmax, num_static, reverse):
+                       *, kmax, num_static, reverse, num_slots):
     """One grid step = one chain position; VMEM scratch carries the running
     message. Resident-class result first, then breakend lane fix-ups through
-    the refs."""
+    the refs. Fix-up DMAs double-buffer through ``num_slots`` scratch slots
+    (scoped VMEM caps the scratch well below kmax full matrices when the
+    restart-tiled schedule multiplies fix-ups per column)."""
     t = pl.program_id(0)
     Qp = carry_ref.shape[0]
 
@@ -102,14 +104,15 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
 
     @pl.when(t > 0)
     def _step():
-        for k in range(kmax):
+        for k in range(min(kmax, num_slots)):
             lane = sched_lane_ref[k, t]
 
             @pl.when(lane >= 0)
             def _start(k=k):
                 slot = sched_slot_ref[k, t]
                 pltpu.make_async_copy(
-                    be_exp_ref.at[slot], be_scratch.at[k], sems.at[k]).start()
+                    be_exp_ref.at[slot], be_scratch.at[k % num_slots],
+                    sems.at[k % num_slots]).start()
 
         if reverse:
             carry = carry_ref[:, :] + frame_ref[0, :, :]
@@ -150,7 +153,8 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
             def _apply(k=k):
                 slot = sched_slot_ref[k, t]
                 pltpu.make_async_copy(
-                    be_exp_ref.at[slot], be_scratch.at[k], sems.at[k]).wait()
+                    be_exp_ref.at[slot], be_scratch.at[k % num_slots],
+                    sems.at[k % num_slots]).wait()
                 onehot = (jax.lax.broadcasted_iota(jnp.int32, (Qp, 1), 0)
                           == lane)
                 u_lane = jnp.sum(jnp.where(onehot, u, 0.0),
@@ -158,11 +162,11 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
                 cmax_lane = jnp.sum(jnp.where(onehot, cmax, 0.0),
                                     axis=0, keepdims=True)
                 if reverse:
-                    s = jnp.dot(u_lane, be_scratch[k, :, :].T,
+                    s = jnp.dot(u_lane, be_scratch[k % num_slots, :, :].T,
                                 preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
                 else:
-                    s = jnp.dot(u_lane, be_scratch[k, :, :],
+                    s = jnp.dot(u_lane, be_scratch[k % num_slots, :, :],
                                 preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
                 val = jnp.log(jnp.maximum(s, TINY)) + cmax_lane
@@ -174,6 +178,17 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
                 out_ref[0, :, :] = jnp.where(onehot, fixed, out_ref[0, :, :])
                 carry_ref[:, :] = jnp.where(onehot, fixed, carry_ref[:, :])
 
+            # the slot just applied is free: start the DMA W steps ahead
+            if k + num_slots < kmax:
+                lane_next = sched_lane_ref[k + num_slots, t]
+
+                @pl.when(lane_next >= 0)
+                def _start_next(k=k):
+                    slot = sched_slot_ref[k + num_slots, t]
+                    pltpu.make_async_copy(
+                        be_exp_ref.at[slot], be_scratch.at[k % num_slots],
+                        sems.at[k % num_slots]).start()
+
 
 def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
                    interpret=False):
@@ -181,6 +196,8 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
     (already flipped/shifted for reverse). Returns (L, Qp, Sp)."""
     L, Qp, Sp = frame_tm.shape
     kmax = plan['kmax']
+    # scoped VMEM caps the fix-up scratch; DMAs double-buffer in waves
+    num_slots = min(kmax, 8)
     num_static = static_exp.shape[0]
 
     sched_lane = plan['sched_lane']
@@ -196,7 +213,8 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
             [cls_onehot[:1], cls_onehot[1:][::-1]], axis=0)
 
     kernel = functools.partial(
-        _fb_kernel_wrapped, kmax=kmax, num_static=num_static, reverse=reverse)
+        _fb_kernel_wrapped, kmax=kmax, num_static=num_static,
+        reverse=reverse, num_slots=num_slots)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -213,8 +231,8 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
-            pltpu.VMEM((kmax, Sp, Sp), jnp.float32),           # breakend mats
-            pltpu.SemaphoreType.DMA((kmax,)),
+            pltpu.VMEM((num_slots, Sp, Sp), jnp.float32),      # breakend mats
+            pltpu.SemaphoreType.DMA((num_slots,)),
         ],
     )
 
