@@ -89,19 +89,22 @@ def median_time(fn, iters, repeats=3):
     return sorted(times)[len(times) // 2]
 
 
-def time_single_sweep(spec, params, state, iters=5):
+def time_single_sweep(spec, params, state, iters=5, block=5):
+    """Per-sweep throughput of the production 5-sweep fused block
+    (emissions computed once per block, as the fit executes)."""
     import jax
-    state0 = spec.sweep(params, state)  # compile
+    sweeps = spec.sweep_n(block)
+    state0 = sweeps(params, state)  # compile
     jax.block_until_ready(state0)
 
     def run(n):
         s = state0
         for _ in range(n):
-            s = spec.sweep(params, s)
+            s = sweeps(params, s)
         jax.block_until_ready(s)
         run.last = s
 
-    dt = median_time(run, iters)
+    dt = median_time(run, iters) / block
     assert np.isfinite(float(run.last.hmm_log_norm_const))
     return spec.N / dt
 
@@ -120,29 +123,25 @@ def time_restart_batched_sweep(spec, params, state, num_restarts, iters=5):
     params_b = par.stack_pytrees(params_list)
     state_b = par.stack_pytrees([state] * num_restarts)
 
-    # the dedicated restart-batched sweep: static transition gather shared
-    # across the restart axis, per-restart breakend fix-ups on a schedule
-    use_pallas = spec.use_pallas
-    spec.use_pallas = False
-    spec._jit_cache = {}
+    # the dedicated restart-batched sweep: on TPU the restart-tiled Pallas
+    # kernel (restarts folded into lanes), otherwise the shared-gather scan
     import functools
     from remixt_tpu.models import engine as eng
-    sweep_b = jax.jit(
-        functools.partial(eng.variational_sweep_restarts, spec))
+    block = 5
+    sweeps_b = jax.jit(functools.partial(
+        eng.variational_sweeps_restarts, spec, num_sweeps=block))
 
-    state_b0 = sweep_b(params_b, state_b)
+    state_b0 = sweeps_b(params_b, state_b)
     jax.block_until_ready(state_b0)
 
     def run(n):
         s = state_b0
         for _ in range(n):
-            s = sweep_b(params_b, s)
+            s = sweeps_b(params_b, s)
         jax.block_until_ready(s)
         run.last = s
 
-    dt = median_time(run, iters)
-    spec.use_pallas = use_pallas
-    spec._jit_cache = {}
+    dt = median_time(run, iters) / block
     assert np.all(np.isfinite(np.asarray(run.last.hmm_log_norm_const)))
     return num_restarts * spec.N / dt
 

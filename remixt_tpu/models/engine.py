@@ -388,6 +388,14 @@ class ModelSpec:
         """One full variational update sweep (reference update order)."""
         return self._jit('sweep', variational_sweep)
 
+    def sweep_n(self, num_sweeps):
+        """``num_sweeps`` fused sweeps, emissions computed once."""
+        key = ('sweep_n', num_sweeps)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(functools.partial(
+                variational_sweeps, self, num_sweeps=num_sweeps))
+        return self._jit_cache[key]
+
     @property
     def elbo(self):
         return self._jit('elbo', calculate_elbo)
@@ -661,15 +669,35 @@ def update_p_outlier_allele(spec, params, state, ll_alle):
     return state._replace(p_outlier_allele=exp_normalize(log_p + prior[None, :], axis=-1))
 
 
-def variational_sweep(spec, params, state):
-    """One sweep in the reference's update order (cn_model.py:444-460):
-    allele swap, chain, breakpoints, total outliers, allele outliers."""
-    ll_tot, ll_alle = emission_tensors(spec, params)
+def _sweep_with_emissions(spec, params, state, ll_tot, ll_alle):
     state = update_p_allele_swap(spec, params, state, ll_alle)
     state = update_p_cn(spec, params, state, ll_tot, ll_alle)
     state = update_p_breakpoint(spec, params, state)
     state = update_p_outlier_total(spec, params, state, ll_tot)
     state = update_p_outlier_allele(spec, params, state, ll_alle)
+    return state
+
+
+def variational_sweep(spec, params, state):
+    """One sweep in the reference's update order (cn_model.py:444-460):
+    allele swap, chain, breakpoints, total outliers, allele outliers."""
+    ll_tot, ll_alle = emission_tensors(spec, params)
+    return _sweep_with_emissions(spec, params, state, ll_tot, ll_alle)
+
+
+def variational_sweeps(spec, params, state, num_sweeps):
+    """``num_sweeps`` VI sweeps with the emission tensors computed ONCE.
+
+    The lgamma-heavy emission depends only on params, which are constant
+    across the VI sweeps inside one EM iteration — recomputing it per
+    sweep dominated the batched sweep's wall clock.
+    """
+    ll_tot, ll_alle = emission_tensors(spec, params)
+
+    def body(s, _):
+        return _sweep_with_emissions(spec, params, s, ll_tot, ll_alle), None
+
+    state, _ = jax.lax.scan(body, state, None, length=num_sweeps)
     return state
 
 
@@ -711,6 +739,18 @@ def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b):
     )
 
 
+def _sweep_restarts_with_emissions(spec, params_b, state_b, ll_tot, ll_alle):
+    import functools
+
+    vm = lambda f: jax.vmap(functools.partial(f, spec))
+    state_b = vm(update_p_allele_swap)(params_b, state_b, ll_alle)
+    state_b = update_p_cn_restarts(spec, params_b, state_b, ll_tot, ll_alle)
+    state_b = vm(update_p_breakpoint)(params_b, state_b)
+    state_b = vm(update_p_outlier_total)(params_b, state_b, ll_tot)
+    state_b = vm(update_p_outlier_allele)(params_b, state_b, ll_alle)
+    return state_b
+
+
 def variational_sweep_restarts(spec, params_b, state_b):
     """One sweep over a stacked restart axis.
 
@@ -721,14 +761,24 @@ def variational_sweep_restarts(spec, params_b, state_b):
     """
     import functools
 
-    vm = lambda f: jax.vmap(functools.partial(f, spec))
     ll_tot, ll_alle = jax.vmap(
         functools.partial(emission_tensors, spec))(params_b)
-    state_b = vm(update_p_allele_swap)(params_b, state_b, ll_alle)
-    state_b = update_p_cn_restarts(spec, params_b, state_b, ll_tot, ll_alle)
-    state_b = vm(update_p_breakpoint)(params_b, state_b)
-    state_b = vm(update_p_outlier_total)(params_b, state_b, ll_tot)
-    state_b = vm(update_p_outlier_allele)(params_b, state_b, ll_alle)
+    return _sweep_restarts_with_emissions(
+        spec, params_b, state_b, ll_tot, ll_alle)
+
+
+def variational_sweeps_restarts(spec, params_b, state_b, num_sweeps):
+    """``num_sweeps`` restart-batched VI sweeps, emissions computed once."""
+    import functools
+
+    ll_tot, ll_alle = jax.vmap(
+        functools.partial(emission_tensors, spec))(params_b)
+
+    def body(s_b, _):
+        return _sweep_restarts_with_emissions(
+            spec, params_b, s_b, ll_tot, ll_alle), None
+
+    state_b, _ = jax.lax.scan(body, state_b, None, length=num_sweeps)
     return state_b
 
 

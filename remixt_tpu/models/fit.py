@@ -310,8 +310,13 @@ class BreakpointModel:
             self.prev_elbo = float(self.spec.elbo(self.params, self.state))
 
         while self._em_iter < self.num_em_iter:
-            for j in range(self.num_update_iter):
-                self.variational_update()
+            if self.check_elbo:
+                for j in range(self.num_update_iter):
+                    self.variational_update()
+            else:
+                # fused multi-sweep: emissions computed once per EM iter
+                self.state = self.spec.sweep_n(self.num_update_iter)(
+                    self.params, self.state)
 
             if self.do_h_update:
                 self.em_update_h()

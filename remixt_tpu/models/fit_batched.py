@@ -45,12 +45,13 @@ def _elbo_batched_fn(spec):
     return cache['elbo_b']
 
 
-def _sweep_batched_fn(spec):
+def _sweeps_batched_fn(spec, num_sweeps):
+    key = ('sweeps_b', num_sweeps)
     cache = spec._jit_cache
-    if 'sweep_b' not in cache:
-        cache['sweep_b'] = jax.jit(
-            functools.partial(eng.variational_sweep_restarts, spec))
-    return cache['sweep_b']
+    if key not in cache:
+        cache[key] = jax.jit(functools.partial(
+            eng.variational_sweeps_restarts, spec, num_sweeps=num_sweeps))
+    return cache[key]
 
 
 def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
@@ -91,15 +92,14 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
         # an identical-seed independent stream
         rngs = [np.random.RandomState(model.random_seed) for _ in chunk]
 
-        sweep_b = _sweep_batched_fn(spec)
+        sweeps_b = _sweeps_batched_fn(spec, model.num_update_iter)
         elbo_b = _elbo_batched_fn(spec)
 
         prev_elbo = np.asarray(elbo_b(params_b, state_b), dtype=float)
         elbo_diff = np.zeros(R)
 
         for _ in range(model.num_em_iter):
-            for _ in range(model.num_update_iter):
-                state_b = sweep_b(params_b, state_b)
+            state_b = sweeps_b(params_b, state_b)
 
             if model.do_h_update:
                 params_b, _ = em_mod.update_h_fused_batched(

@@ -185,3 +185,55 @@ def test_restart_batched_sweep_matches_vmap():
     np.testing.assert_allclose(
         np.asarray(got2.p_breakpoint), np.asarray(ref2.p_breakpoint),
         atol=1e-9)
+
+
+def test_fused_multi_sweep_matches_looped():
+    """variational_sweeps (emissions hoisted out of the sweep loop) and
+    variational_sweeps_restarts must equal their looped counterparts."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from remixt_tpu.models import engine as eng
+    from remixt_tpu.parallel import restarts as par
+    from helpers import make_problem
+
+    prob = make_problem(seed=6, N=14, M=2, cn_max=2, num_breakpoints=2,
+                        num_telomeres=1)
+    spec = eng.ModelSpec(
+        cn_states=prob['cn_states'], brk_states=prob['brk_states'],
+        l=prob['l'], x=prob['x'], y=prob['y'],
+        is_telomere=prob['is_telomere'],
+        breakpoint_idx=prob['breakpoint_idx'],
+        breakpoint_orient=prob['breakpoint_orient'],
+        transition_penalty=prob['transition_penalty'],
+        normal_contamination=prob['normal_contamination'],
+        dtype=jnp.float64)
+    params = spec.init_params(prob['h_init'], prob['divergence_weight'])
+    state = spec.init_state()
+
+    looped = state
+    for _ in range(3):
+        looped = spec.sweep(params, looped)
+    fused = spec.sweep_n(3)(params, state)
+    np.testing.assert_allclose(
+        np.asarray(fused.posterior_marginals),
+        np.asarray(looped.posterior_marginals), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(fused.p_breakpoint),
+        np.asarray(looped.p_breakpoint), atol=1e-12)
+
+    R = 2
+    params_b = par.stack_pytrees(
+        [params._replace(h=params.h * (1.0 + 0.1 * r)) for r in range(R)])
+    state_b = par.stack_pytrees([state] * R)
+    looped_b = state_b
+    step = jax.jit(functools.partial(eng.variational_sweep_restarts, spec))
+    for _ in range(3):
+        looped_b = step(params_b, looped_b)
+    fused_b = jax.jit(functools.partial(
+        eng.variational_sweeps_restarts, spec, num_sweeps=3))(
+            params_b, state_b)
+    np.testing.assert_allclose(
+        np.asarray(fused_b.posterior_marginals),
+        np.asarray(looped_b.posterior_marginals), atol=1e-12)
