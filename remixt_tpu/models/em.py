@@ -46,13 +46,21 @@ def _chunked_eval(one, values, group_size):
     return objs.reshape(-1)
 
 
+def sample_size_for(num_segments):
+    return max(int(min(200, num_segments / 10)), 1)
+
+
+def create_sample_indices(rng, num_segments, weights=None):
+    """Random segment subsample as a fixed-size index array
+    (cn_model.py:475-480); same RNG consumption as create_sample."""
+    return rng.choice(num_segments, size=sample_size_for(num_segments),
+                      replace=False, p=weights)
+
+
 def create_sample(rng, num_segments, weights=None):
     """Random segment subsample indicator (cn_model.py:475-480)."""
-    sample_size = int(min(200, num_segments / 10))
-    sample_size = max(sample_size, 1)
-    sample_idxs = rng.choice(num_segments, size=sample_size, replace=False, p=weights)
     sample = np.zeros(num_segments)
-    sample[sample_idxs] = 1.0
+    sample[create_sample_indices(rng, num_segments, weights)] = 1.0
     return sample
 
 
@@ -157,10 +165,10 @@ def _make_h_update(spec):
     n_outer = 12
     n_scales = 8
 
-    def f(params, state, sample, full):
+    def f(params, state, idx, full):
         def obj(h):
-            return eng.expected_log_likelihood(
-                spec, params._replace(h=h), state, sample)
+            return eng.expected_log_likelihood_indexed(
+                spec, params._replace(h=h), state, idx)
 
         def outer(carry, _):
             h, rel_step = carry
@@ -223,9 +231,9 @@ def _h_update_batched_fn(spec):
 
 def update_h_fused(spec, params, state, rng):
     """Single-dispatch EM h update."""
-    sample = jnp.asarray(create_sample(rng, spec.N), dtype=spec.dtype)
+    idx = jnp.asarray(create_sample_indices(rng, spec.N), dtype=jnp.int32)
     full = jnp.ones(spec.N, dtype=spec.dtype)
-    params, accept = _h_update_fn(spec)(params, state, sample, full)
+    params, accept = _h_update_fn(spec)(params, state, idx, full)
     return params, bool(accept)
 
 
@@ -238,24 +246,24 @@ def _make_params_update(spec, names, bounds):
     points = GRID_POINTS
     grid01 = jnp.linspace(0.0, 1.0, points)
 
-    def f(params, state, samples, full):
+    def f(params, state, sample_idxs, full):
         accepts = []
         for i, name in enumerate(names):
             lo_c, hi_c = bounds[name]
-            sample = samples[i]
+            sub_idx = sample_idxs[i]
 
             def level(carry, _, name=name, lo_c=lo_c, hi_c=hi_c,
-                      sample=sample, params=params):
+                      sub_idx=sub_idx, params=params):
                 lo, hi, best = carry
                 values = lo + (hi - lo) * grid01.astype(spec.dtype)
 
                 def one(v):
-                    return eng.expected_log_likelihood(
-                        spec, params._replace(**{name: v}), state, sample)
+                    return eng.expected_log_likelihood_indexed(
+                        spec, params._replace(**{name: v}), state, sub_idx)
 
                 objs = _chunked_eval(one, values, 4)
-                idx = jnp.argmax(objs)
-                best = values[idx]
+                winner = jnp.argmax(objs)
+                best = values[winner]
                 step = (hi - lo) / (points - 1)
                 lo = jnp.maximum(jnp.asarray(lo_c, spec.dtype), best - step)
                 hi = jnp.minimum(jnp.asarray(hi_c, spec.dtype), best + step)
@@ -303,26 +311,25 @@ def _params_update_batched_fn(spec, names, bounds):
 def update_params_fused(spec, params, state, names, bounds, rng,
                         weights_list=None):
     """Single-dispatch EM update of all scalar likelihood parameters."""
-    samples = []
-    for i, name in enumerate(names):
-        weights = None if weights_list is None else weights_list[i]
-        samples.append(create_sample(rng, spec.N, weights))
-    samples = jnp.asarray(np.stack(samples), dtype=spec.dtype)
+    idxs = np.stack([
+        create_sample_indices(
+            rng, spec.N, None if weights_list is None else weights_list[i])
+        for i in range(len(names))])
     full = jnp.ones(spec.N, dtype=spec.dtype)
     params, accepts = _params_update_fn(spec, tuple(names), bounds)(
-        params, state, samples, full)
+        params, state, jnp.asarray(idxs, dtype=jnp.int32), full)
     return params, np.asarray(accepts)
 
 
 def update_h_fused_batched(spec, params_b, state_b, rngs):
     """Restart-batched EM h update; one independent subsample per restart
     (matching the sequential driver's per-restart RNG streams)."""
-    samples = jnp.asarray(
-        np.stack([create_sample(rng, spec.N) for rng in rngs]),
-        dtype=spec.dtype)
+    idxs = jnp.asarray(
+        np.stack([create_sample_indices(rng, spec.N) for rng in rngs]),
+        dtype=jnp.int32)
     full = jnp.ones(spec.N, dtype=spec.dtype)
     params_b, accepts = _h_update_batched_fn(spec)(
-        params_b, state_b, samples, full)
+        params_b, state_b, idxs, full)
     return params_b, np.asarray(accepts)
 
 
@@ -334,16 +341,16 @@ def update_params_fused_batched(spec, params_b, state_b, names, bounds, rngs,
     sampling weights for parameter i (param_sample_weights on that
     restart's state).
     """
-    samples = np.empty((len(rngs), len(names), spec.N))
+    k = sample_size_for(spec.N)
+    idxs = np.empty((len(rngs), len(names), k), dtype=np.int32)
     for r, rng in enumerate(rngs):
-        for i, name in enumerate(names):
+        for i in range(len(names)):
             weights = (None if weights_lists is None
                        else weights_lists[r][i])
-            samples[r, i] = create_sample(rng, spec.N, weights)
-    samples = jnp.asarray(samples, dtype=spec.dtype)
+            idxs[r, i] = create_sample_indices(rng, spec.N, weights)
     full = jnp.ones(spec.N, dtype=spec.dtype)
     params_b, accepts = _params_update_batched_fn(spec, tuple(names), bounds)(
-        params_b, state_b, samples, full)
+        params_b, state_b, jnp.asarray(idxs), full)
     return params_b, np.asarray(accepts)
 
 

@@ -424,8 +424,26 @@ class ModelSpec:
 # emission model
 # ===========================================================================
 
-def emission_tensors(spec, params):
-    """Log-likelihood tensors ll_total (N,S,2) and ll_allele (N,S,2,2).
+def _emission_row_arrays(spec, params, idx=None):
+    """The per-segment arrays emissions are computed from, optionally
+    gathered at a fixed-size row index (the M-step subsample)."""
+    take = (lambda a: a) if idx is None else (
+        lambda a: jnp.take(a, idx, axis=0))
+    return dict(
+        seg_class=take(spec.seg_class),
+        l=take(spec.l), x=take(spec.x), y=take(spec.y),
+        total_reads=take(spec.total_reads),
+        hdel_override=take(spec.hdel_override),
+        loh_override=take(spec.loh_override),
+        is_hdel_plane=take(spec.is_hdel_plane),
+        total_mask=take(params.total_mask),
+        allele_mask=take(params.allele_mask),
+    )
+
+
+def _emission_tensors_rows(spec, params, rows):
+    """Log-likelihood tensors ll_total (n,S,2) and ll_allele (n,S,2,2)
+    over the given row arrays.
 
     Mirrors bpmodel.pyx:751-853 including special cases:
       hdel (no normal contamination): fixed tiny negbin mean;
@@ -433,8 +451,9 @@ def emission_tensors(spec, params):
         overdispersion pair;
       masked or zero-allele-count segments: log likelihood 0.
     """
-    cls = spec.seg_class
+    cls = rows['seg_class']
     h = params.h
+    n = cls.shape[0]
 
     depth_total_c = jnp.einsum('csm,m->cs', spec.class_total_f(), h)
     depth_minor_c = jnp.einsum('csm,m->cs', spec.class_minor_f(), h)
@@ -444,41 +463,47 @@ def emission_tensors(spec, params):
     # total read count: negative binomial. Double-where guard: masked
     # segments and degenerate zero-mean lanes (zero-length dummy segments)
     # contribute exactly 0 and cannot poison gradients.
-    mu = spec.l[:, None] * depth_total
-    mu_eff = jnp.where(spec.hdel_override, params.negbin_hdel_mu, mu)
-    r0 = jnp.where(spec.hdel_override, params.negbin_hdel_r_0, params.negbin_r_0)
-    r1 = jnp.where(spec.hdel_override, params.negbin_hdel_r_1, params.negbin_r_1)
-    zero_tot = (params.total_mask == 0)[:, None] | (mu_eff <= 0.0)
+    mu = rows['l'][:, None] * depth_total
+    mu_eff = jnp.where(rows['hdel_override'], params.negbin_hdel_mu, mu)
+    r0 = jnp.where(rows['hdel_override'], params.negbin_hdel_r_0, params.negbin_r_0)
+    r1 = jnp.where(rows['hdel_override'], params.negbin_hdel_r_1, params.negbin_r_1)
+    zero_tot = (rows['total_mask'] == 0)[:, None] | (mu_eff <= 0.0)
     mu_safe = jnp.where(zero_tot, 1.0, mu_eff)
     ll_tot = jnp.stack([
-        jnp.where(zero_tot, 0.0, negbin_log_likelihood(spec.x[:, None], mu_safe, r0)),
-        jnp.where(zero_tot, 0.0, negbin_log_likelihood(spec.x[:, None], mu_safe, r1)),
+        jnp.where(zero_tot, 0.0, negbin_log_likelihood(rows['x'][:, None], mu_safe, r0)),
+        jnp.where(zero_tot, 0.0, negbin_log_likelihood(rows['x'][:, None], mu_safe, r1)),
     ], axis=-1)
 
     # allele counts: beta binomial
     safe_total = jnp.where(depth_total > 0, depth_total, 1.0)
     p = jnp.where(depth_total > 0, depth_minor / safe_total, 0.0)
-    p = jnp.where(spec.is_hdel_plane, 0.0, p)
-    p = jnp.where(spec.loh_override,
+    p = jnp.where(rows['is_hdel_plane'], 0.0, p)
+    p = jnp.where(rows['loh_override'],
                   jnp.where(p == 0.0, params.betabin_loh_p, 1.0 - params.betabin_loh_p),
                   p)
-    M0 = jnp.where(spec.loh_override, params.betabin_loh_M_0, params.betabin_M_0)
-    M1 = jnp.where(spec.loh_override, params.betabin_loh_M_1, params.betabin_M_1)
+    M0 = jnp.where(rows['loh_override'], params.betabin_loh_M_0, params.betabin_M_0)
+    M1 = jnp.where(rows['loh_override'], params.betabin_loh_M_1, params.betabin_M_1)
 
-    zero = ((spec.total_reads == 0)[:, None]
-            | (params.allele_mask == 0)[:, None]
+    zero = ((rows['total_reads'] == 0)[:, None]
+            | (rows['allele_mask'] == 0)[:, None]
             | (p <= 0.0) | (p >= 1.0))
     p_safe = jnp.where(zero, 0.5, p)
 
-    tr = spec.total_reads[:, None]
+    tr = rows['total_reads'][:, None]
     lls = []
     for v, Mv in enumerate([M0, M1]):
         for w in range(2):
-            k = spec.y[:, w][:, None]
+            k = rows['y'][:, w][:, None]
             ll = betabin_log_likelihood(k, tr, p_safe, Mv)
             lls.append(jnp.where(zero, 0.0, ll))
-    ll_alle = jnp.stack(lls, axis=-1).reshape(spec.N, spec.S, 2, 2)
+    ll_alle = jnp.stack(lls, axis=-1).reshape(n, spec.S, 2, 2)
     return ll_tot, ll_alle
+
+
+def emission_tensors(spec, params):
+    """Log-likelihood tensors over every segment (N,S,2) / (N,S,2,2)."""
+    return _emission_tensors_rows(
+        spec, params, _emission_row_arrays(spec, params))
 
 
 def log_prior_cn(spec, params):
@@ -827,6 +852,23 @@ def expected_log_likelihood(spec, params, state, sample=None):
                         state.p_outlier_total, ll_tot)
     energy += jnp.einsum('n,ns,nv,nw,nsvw->', sample, state.posterior_marginals,
                          state.p_outlier_allele, state.p_allele_swap, ll_alle)
+    return energy
+
+
+def expected_log_likelihood_indexed(spec, params, state, idx):
+    """expected_log_likelihood restricted to the gathered segments ``idx``
+    — the M-step subsample objective at subsample cost. The reference
+    likewise evaluates only the ~200 sampled segments (cn_model.py:482-531,
+    bpmodel.pyx:1159-1195); computing emissions genome-wide per candidate
+    made the grid zoom the fit's dominant cost."""
+    rows = _emission_row_arrays(spec, params, idx)
+    ll_tot, ll_alle = _emission_tensors_rows(spec, params, rows)
+    marg = jnp.take(state.posterior_marginals, idx, axis=0)
+    out_tot = jnp.take(state.p_outlier_total, idx, axis=0)
+    out_alle = jnp.take(state.p_outlier_allele, idx, axis=0)
+    swap = jnp.take(state.p_allele_swap, idx, axis=0)
+    energy = jnp.einsum('ns,nu,nsu->', marg, out_tot, ll_tot)
+    energy += jnp.einsum('ns,nv,nw,nsvw->', marg, out_alle, swap, ll_alle)
     return energy
 
 
