@@ -246,11 +246,32 @@ def _make_params_update(spec, names, bounds):
     points = GRID_POINTS
     grid01 = jnp.linspace(0.0, 1.0, points)
 
+    # each scalar parameter touches only one emission half; accept/reject
+    # compares the affected half against a running value (the other half
+    # cancels), so full-genome evaluation happens once per half per call
+    # plus once per candidate
+    param_half = {
+        'negbin_r_0': 'total', 'negbin_r_1': 'total',
+        'negbin_hdel_mu': 'total', 'negbin_hdel_r_0': 'total',
+        'negbin_hdel_r_1': 'total',
+        'betabin_M_0': 'allele', 'betabin_M_1': 'allele',
+        'betabin_loh_p': 'allele', 'betabin_loh_M_0': 'allele',
+        'betabin_loh_M_1': 'allele',
+    }
+    half_fns = {
+        'total': eng.expected_log_likelihood_total_half,
+        'allele': eng.expected_log_likelihood_allele_half,
+    }
+
     def f(params, state, sample_idxs, full):
+        running = {
+            half: half_fns[half](spec, params, state)
+            for half in ('total', 'allele')}
         accepts = []
         for i, name in enumerate(names):
             lo_c, hi_c = bounds[name]
             sub_idx = sample_idxs[i]
+            half = param_half[name]
 
             def level(carry, _, name=name, lo_c=lo_c, hi_c=hi_c,
                       sub_idx=sub_idx, params=params):
@@ -274,13 +295,12 @@ def _make_params_update(spec, names, bounds):
                     getattr(params, name))
             (_, _, best), _ = jax.lax.scan(level, init, None, length=levels)
 
-            def ell_at(v, name=name):
-                return eng.expected_log_likelihood(
-                    spec, params._replace(**{name: v}), state, full)
-
-            accept = ell_at(best) >= ell_at(getattr(params, name))
+            cand_val = half_fns[half](
+                spec, params._replace(**{name: best}), state)
+            accept = cand_val >= running[half]
             new_val = jnp.where(accept, best, getattr(params, name))
             params = params._replace(**{name: new_val})
+            running[half] = jnp.where(accept, cand_val, running[half])
             accepts.append(accept)
         return params, jnp.stack(accepts)
 

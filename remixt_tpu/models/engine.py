@@ -441,40 +441,35 @@ def _emission_row_arrays(spec, params, idx=None):
     )
 
 
-def _emission_tensors_rows(spec, params, rows):
-    """Log-likelihood tensors ll_total (n,S,2) and ll_allele (n,S,2,2)
-    over the given row arrays.
+def _total_emission_rows(spec, params, rows):
+    """ll_total (n, S, 2): negative binomial over total read counts.
 
-    Mirrors bpmodel.pyx:751-853 including special cases:
-      hdel (no normal contamination): fixed tiny negbin mean;
-      LOH (no normal contamination): allele ratio pinned near 0/1 with its own
-        overdispersion pair;
-      masked or zero-allele-count segments: log likelihood 0.
-    """
-    cls = rows['seg_class']
-    h = params.h
-    n = cls.shape[0]
+    Double-where guard: masked segments and degenerate zero-mean lanes
+    (zero-length dummy segments) contribute exactly 0 and cannot poison
+    gradients (parity: bpmodel.pyx:751-776)."""
+    depth_total_c = jnp.einsum('csm,m->cs', spec.class_total_f(), params.h)
+    depth_total = depth_total_c[rows['seg_class']]
 
-    depth_total_c = jnp.einsum('csm,m->cs', spec.class_total_f(), h)
-    depth_minor_c = jnp.einsum('csm,m->cs', spec.class_minor_f(), h)
-    depth_total = depth_total_c[cls]
-    depth_minor = depth_minor_c[cls]
-
-    # total read count: negative binomial. Double-where guard: masked
-    # segments and degenerate zero-mean lanes (zero-length dummy segments)
-    # contribute exactly 0 and cannot poison gradients.
     mu = rows['l'][:, None] * depth_total
     mu_eff = jnp.where(rows['hdel_override'], params.negbin_hdel_mu, mu)
     r0 = jnp.where(rows['hdel_override'], params.negbin_hdel_r_0, params.negbin_r_0)
     r1 = jnp.where(rows['hdel_override'], params.negbin_hdel_r_1, params.negbin_r_1)
     zero_tot = (rows['total_mask'] == 0)[:, None] | (mu_eff <= 0.0)
     mu_safe = jnp.where(zero_tot, 1.0, mu_eff)
-    ll_tot = jnp.stack([
+    return jnp.stack([
         jnp.where(zero_tot, 0.0, negbin_log_likelihood(rows['x'][:, None], mu_safe, r0)),
         jnp.where(zero_tot, 0.0, negbin_log_likelihood(rows['x'][:, None], mu_safe, r1)),
     ], axis=-1)
 
-    # allele counts: beta binomial
+
+def _allele_emission_rows(spec, params, rows):
+    """ll_allele (n, S, 2, 2): beta-binomial over minor-allele counts with
+    the hdel/LOH overrides (parity: bpmodel.pyx:809-853)."""
+    cls = rows['seg_class']
+    n = cls.shape[0]
+    depth_total = jnp.einsum('csm,m->cs', spec.class_total_f(), params.h)[cls]
+    depth_minor = jnp.einsum('csm,m->cs', spec.class_minor_f(), params.h)[cls]
+
     safe_total = jnp.where(depth_total > 0, depth_total, 1.0)
     p = jnp.where(depth_total > 0, depth_minor / safe_total, 0.0)
     p = jnp.where(rows['is_hdel_plane'], 0.0, p)
@@ -496,8 +491,14 @@ def _emission_tensors_rows(spec, params, rows):
             k = rows['y'][:, w][:, None]
             ll = betabin_log_likelihood(k, tr, p_safe, Mv)
             lls.append(jnp.where(zero, 0.0, ll))
-    ll_alle = jnp.stack(lls, axis=-1).reshape(n, spec.S, 2, 2)
-    return ll_tot, ll_alle
+    return jnp.stack(lls, axis=-1).reshape(n, spec.S, 2, 2)
+
+
+def _emission_tensors_rows(spec, params, rows):
+    """ll_total and ll_allele over the given row arrays
+    (bpmodel.pyx:751-853)."""
+    return (_total_emission_rows(spec, params, rows),
+            _allele_emission_rows(spec, params, rows))
 
 
 def emission_tensors(spec, params):
@@ -853,6 +854,36 @@ def expected_log_likelihood(spec, params, state, sample=None):
     energy += jnp.einsum('n,ns,nv,nw,nsvw->', sample, state.posterior_marginals,
                          state.p_outlier_allele, state.p_allele_swap, ll_alle)
     return energy
+
+
+def expected_log_likelihood_halves(spec, params, state):
+    """(total, allele) halves of the full-genome expected log likelihood.
+
+    Likelihood parameters each touch only one emission half, so the EM
+    accept/reject comparison needs only the affected half recomputed — the
+    other cancels (cn_model.py:563-569 semantics at half the cost)."""
+    rows = _emission_row_arrays(spec, params)
+    ll_tot = _total_emission_rows(spec, params, rows)
+    ll_alle = _allele_emission_rows(spec, params, rows)
+    total = jnp.einsum('ns,nu,nsu->', state.posterior_marginals,
+                       state.p_outlier_total, ll_tot)
+    allele = jnp.einsum('ns,nv,nw,nsvw->', state.posterior_marginals,
+                        state.p_outlier_allele, state.p_allele_swap, ll_alle)
+    return total, allele
+
+
+def expected_log_likelihood_total_half(spec, params, state):
+    rows = _emission_row_arrays(spec, params)
+    ll_tot = _total_emission_rows(spec, params, rows)
+    return jnp.einsum('ns,nu,nsu->', state.posterior_marginals,
+                      state.p_outlier_total, ll_tot)
+
+
+def expected_log_likelihood_allele_half(spec, params, state):
+    rows = _emission_row_arrays(spec, params)
+    ll_alle = _allele_emission_rows(spec, params, rows)
+    return jnp.einsum('ns,nv,nw,nsvw->', state.posterior_marginals,
+                      state.p_outlier_allele, state.p_allele_swap, ll_alle)
 
 
 def expected_log_likelihood_indexed(spec, params, state, idx):
