@@ -322,9 +322,10 @@ class ModelSpec:
             cache = self._pallas_restart_plans = {}
         if num_restarts not in cache:
             from remixt_tpu.ops import fb_pallas
-            cache[num_restarts] = fb_pallas.build_pallas_plan_restarts(
-                np.asarray(self.chain_bank_idx), self.num_static_bank,
-                self.Q, self.L, self.S, num_restarts, self.J)
+            cache[num_restarts] = (
+                fb_pallas.build_pallas_plan_restarts_grouped(
+                    np.asarray(self.chain_bank_idx), self.num_static_bank,
+                    self.Q, self.L, self.S, num_restarts, self.J))
         return cache[num_restarts]
 
     # -- initial pytrees -----------------------------------------------------
@@ -741,10 +742,11 @@ def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b):
         lambda pb: breakend_tmats(spec, pb))(state_b.p_breakpoint)
 
     if spec.use_pallas and spec.chain_constraint is None:
-        # restart-tiled Pallas kernel: restarts fold into the lane axis
+        # grouped restart-tiled Pallas kernel: chain-major lanes, one DMA
+        # per junction delivering every restart's matrix
         from remixt_tpu.ops import fb_pallas
         alphas, betas, log_norm = (
-            fb_pallas.forward_backward_chains_pallas_restarts(
+            fb_pallas.forward_backward_chains_pallas_grouped(
                 frame_b, spec.static_bank, be_bank_b,
                 np.asarray(spec.chain_seg_map), spec.chain_last,
                 spec.pallas_restart_plan(R)))

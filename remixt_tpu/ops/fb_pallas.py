@@ -422,3 +422,268 @@ def forward_backward_chains_pallas_restarts(frame_b, static_bank, be_bank_b,
     betas = betas.at[:, chain_seg_map.reshape(-1)].set(
         betas_b.reshape(R, -1, S).astype(frame_b.dtype))[:, :N]
     return alphas, betas, log_norm
+
+
+def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
+                                       Q, L, S, num_restarts, num_breakends):
+    """Chain-major restart tiling: lane q*R + r carries restart r of chain q.
+
+    A junction's R per-restart matrices are then a contiguous slab in a
+    (J, R, S, S) bank — one DMA and one R-row lane-slab fix-up per
+    junction, instead of R separate DMAs and full-plane masked writes.
+    kmax stays the per-column junction count.
+    """
+    R = num_restarts
+    Sp = _round_up(S, 128)
+    RQ = R * Q
+    RQp = _round_up(max(RQ, 8), 8)
+
+    cls_idx = chain_bank_idx_np.T.copy()              # (L-1, Q)
+    is_be = cls_idx >= num_static_bank
+    be_slot = np.where(is_be, cls_idx - num_static_bank, 0)
+    cls_idx = np.where(is_be, 0, cls_idx)
+    if num_static_bank > CLS_CHANNELS:
+        raise ValueError('too many static transition classes for the kernel')
+
+    cls_onehot = np.zeros((L, RQp, CLS_CHANNELS), dtype=np.float32)
+    cls_onehot[:, :, 0] = 1.0
+    for t in range(1, L):
+        for q in range(Q):
+            rows = slice(q * R, (q + 1) * R)
+            cls_onehot[t, rows, :] = 0.0
+            cls_onehot[t, rows, cls_idx[t - 1, q]] = 1.0
+
+    steps, lanes = np.nonzero(is_be)
+    kmax = max(int(np.bincount(steps, minlength=1).max())
+               if len(steps) else 1, 1)
+    sched_lane = -np.ones((kmax, L), dtype=np.int32)  # slab base lane
+    sched_slot = np.zeros((kmax, L), dtype=np.int32)  # junction index
+    fill = np.zeros(L, dtype=np.int32)
+    for t, q in zip(steps, lanes):
+        col = t + 1
+        sched_lane[fill[col], col] = q * R
+        sched_slot[fill[col], col] = be_slot[t, q]
+        fill[col] += 1
+
+    return dict(Sp=Sp, Qp=RQp, kmax=kmax, cls_onehot=cls_onehot,
+                sched_lane=sched_lane, sched_slot=sched_slot,
+                num_restarts=R, Q=Q, grouped=True)
+
+
+def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
+                       frame_ref, cls_ref, static_exp_ref, be_exp_ref,
+                       out_ref, carry_ref, be_scratch, sems,
+                       *, kmax, num_static, reverse, num_slots, R):
+    """Grouped restart-tiled kernel step: per junction, one DMA of the
+    (R, Sp, Sp) matrix slab and one contiguous R-lane fix-up."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        if reverse:
+            carry_ref[:, :] = jnp.zeros_like(carry_ref)
+            out_ref[0, :, :] = jnp.zeros_like(carry_ref)
+        else:
+            carry_ref[:, :] = frame_ref[0, :, :]
+            out_ref[0, :, :] = frame_ref[0, :, :]
+
+    @pl.when(t > 0)
+    def _step():
+        for k in range(min(kmax, num_slots)):
+            lane = sched_lane_ref[k, t]
+
+            @pl.when(lane >= 0)
+            def _start(k=k):
+                slot = sched_slot_ref[k, t]
+                pltpu.make_async_copy(
+                    be_exp_ref.at[slot], be_scratch.at[k % num_slots],
+                    sems.at[k % num_slots]).start()
+
+        if reverse:
+            carry = carry_ref[:, :] + frame_ref[0, :, :]
+        else:
+            carry = carry_ref[:, :]
+
+        cmax = jnp.max(carry, axis=-1, keepdims=True)
+        u = jnp.exp(carry - cmax)
+
+        cut = jnp.log(jnp.maximum(
+            jnp.sum(u, axis=-1, keepdims=True), TINY)) + cmax
+        result = jnp.broadcast_to(cut, u.shape)
+
+        for c in range(1, num_static):
+            mat = static_exp_ref[c, :, :]
+            if reverse:
+                s = jnp.dot(u, mat.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            else:
+                s = jnp.dot(u, mat, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            val = jnp.log(jnp.maximum(s, TINY)) + cmax
+            lane_is_c = cls_ref[0, :, c:c + 1] > 0.5
+            result = jnp.where(lane_is_c, val, result)
+
+        if reverse:
+            out_ref[0, :, :] = result
+            carry_ref[:, :] = result
+        else:
+            out_val = result + frame_ref[0, :, :]
+            out_ref[0, :, :] = out_val
+            carry_ref[:, :] = out_val
+
+        for k in range(kmax):
+            lane = sched_lane_ref[k, t]
+
+            @pl.when(lane >= 0)
+            def _apply(k=k):
+                pltpu.make_async_copy(
+                    be_exp_ref.at[sched_slot_ref[k, t]],
+                    be_scratch.at[k % num_slots],
+                    sems.at[k % num_slots]).wait()
+                u_slab = jax.lax.dynamic_slice_in_dim(u, lane, R, axis=0)
+                cmax_slab = jax.lax.dynamic_slice_in_dim(
+                    cmax, lane, R, axis=0)
+                rows = []
+                for r in range(R):
+                    mat = be_scratch[k % num_slots, r, :, :]
+                    if reverse:
+                        s_r = jnp.dot(u_slab[r:r + 1, :], mat.T,
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+                    else:
+                        s_r = jnp.dot(u_slab[r:r + 1, :], mat,
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+                    rows.append(s_r)
+                s = jnp.concatenate(rows, axis=0)
+                val = jnp.log(jnp.maximum(s, TINY)) + cmax_slab
+                if reverse:
+                    fixed = val
+                else:
+                    fixed = val + frame_ref[0, pl.ds(lane, R), :]
+                out_ref[0, pl.ds(lane, R), :] = fixed
+                carry_ref[pl.ds(lane, R), :] = fixed
+
+            if k + num_slots < kmax:
+                lane_next = sched_lane_ref[k + num_slots, t]
+
+                @pl.when(lane_next >= 0)
+                def _start_next(k=k):
+                    pltpu.make_async_copy(
+                        be_exp_ref.at[sched_slot_ref[k + num_slots, t]],
+                        be_scratch.at[k % num_slots],
+                        sems.at[k % num_slots]).start()
+
+
+def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
+                           plan, reverse, interpret=False):
+    """Grouped-kernel direction runner; be_exp_grouped is (J, R, Sp, Sp)."""
+    L, Qp, Sp = frame_tm.shape
+    kmax = plan['kmax']
+    R = plan['num_restarts']
+    num_slots = min(kmax, 2)
+    num_static = static_exp.shape[0]
+
+    sched_lane = plan['sched_lane']
+    sched_slot = plan['sched_slot']
+    if reverse:
+        sched_lane = np.concatenate(
+            [-np.ones((kmax, 1), np.int32), sched_lane[:, 1:][:, ::-1]], axis=1)
+        sched_slot = np.concatenate(
+            [np.zeros((kmax, 1), np.int32), sched_slot[:, 1:][:, ::-1]], axis=1)
+        cls_onehot = np.concatenate(
+            [cls_onehot[:1], cls_onehot[1:][::-1]], axis=0)
+
+    kernel = functools.partial(
+        _fb_kernel_grouped, kmax=kmax, num_static=num_static,
+        reverse=reverse, num_slots=num_slots, R=R)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, CLS_CHANNELS), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Qp, Sp), jnp.float32),
+            pltpu.VMEM((num_slots, R, Sp, Sp), jnp.float32),
+            pltpu.SemaphoreType.DMA((num_slots,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, Qp, Sp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(sched_lane), jnp.asarray(sched_slot),
+      frame_tm, jnp.asarray(cls_onehot), static_exp, be_exp_grouped)
+
+
+def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
+                                           chain_seg_map, chain_last, plan,
+                                           interpret=False):
+    """Grouped restart-tiled Pallas forward-backward (chain-major lanes).
+
+    Same contract as forward_backward_chains_pallas_restarts.
+    """
+    R, N, S = frame_b.shape
+    Q, L = chain_seg_map.shape
+    Sp, RQp = plan['Sp'], plan['Qp']
+    J = be_bank_b.shape[1]
+
+    pad_row = jnp.zeros((R, 1, S), dtype=frame_b.dtype)
+    frame_ext = jnp.concatenate([frame_b, pad_row], axis=1)
+    F = frame_ext[:, chain_seg_map.reshape(-1)].reshape(R, Q, L, S)
+    # chain-major lanes: (q, r)
+    Ft = jnp.transpose(F, (2, 1, 0, 3)).reshape(L, Q * R, S)
+    Ftp = jnp.full((L, RQp, Sp), NEG, dtype=jnp.float32)
+    Ftp = Ftp.at[:, Q * R:, :].set(0.0)
+    Ftp = Ftp.at[:, :Q * R, :S].set(Ft.astype(jnp.float32))
+
+    static_exp = jnp.zeros((static_bank.shape[0], Sp, Sp), dtype=jnp.float32)
+    static_exp = static_exp.at[:, :S, :S].set(
+        jnp.exp(static_bank).astype(jnp.float32))
+    be_exp = jnp.zeros((max(J, 1), R, Sp, Sp), dtype=jnp.float32)
+    if J:
+        be_exp = be_exp.at[:, :, :S, :S].set(
+            jnp.exp(jnp.swapaxes(be_bank_b, 0, 1)).astype(jnp.float32))
+
+    alphas_tm = _run_direction_grouped(
+        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
+        interpret=interpret)
+    Hrev = jnp.concatenate(
+        [jnp.zeros((1, RQp, Sp), dtype=jnp.float32), Ftp[::-1][:-1]], axis=0)
+    betas_rev = _run_direction_grouped(
+        Hrev, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
+        interpret=interpret)
+    betas_tm = betas_rev[::-1]
+
+    # lanes (q, r) -> (R, Q, L, S)
+    alphas_b = jnp.transpose(
+        jnp.swapaxes(alphas_tm, 0, 1)[:Q * R, :, :S].reshape(Q, R, L, S),
+        (1, 0, 2, 3))
+    betas_b = jnp.transpose(
+        jnp.swapaxes(betas_tm, 0, 1)[:Q * R, :, :S].reshape(Q, R, L, S),
+        (1, 0, 2, 3))
+
+    from remixt_tpu.ops.special import logsumexp
+    last = chain_last[None, :, None, None].astype(jnp.int32) * jnp.ones(
+        (R, Q, 1, 1), jnp.int32)
+    alpha_last = jnp.take_along_axis(alphas_b, last, axis=2)[:, :, 0, :]
+    log_norm = jnp.sum(logsumexp(alpha_last, axis=-1), axis=-1)
+
+    alphas = jnp.zeros((R, N + 1, S), dtype=frame_b.dtype)
+    alphas = alphas.at[:, chain_seg_map.reshape(-1)].set(
+        alphas_b.reshape(R, -1, S).astype(frame_b.dtype))[:, :N]
+    betas = jnp.zeros((R, N + 1, S), dtype=frame_b.dtype)
+    betas = betas.at[:, chain_seg_map.reshape(-1)].set(
+        betas_b.reshape(R, -1, S).astype(frame_b.dtype))[:, :N]
+    return alphas, betas, log_norm

@@ -195,3 +195,44 @@ def test_restart_tiled_kernel_matches_batched_scan():
             got[significant], ref[significant], atol=2e-4, rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(ln), np.asarray(ln_ref), rtol=1e-5)
+
+
+def test_grouped_restart_kernel_matches_batched_scan():
+    """The grouped restart-tiled kernel (chain-major lanes, one DMA per
+    junction delivering all restarts' matrices) vs the restart-batched
+    scan, interpret mode."""
+    problem = build_problem(10, [14, 9, 5], S=6, be_frac=0.4)
+    R = 3
+    rng = np.random.RandomState(2)
+    S = problem['framelogprob'].shape[-1]
+    N = problem['N']
+    J = problem['num_breakends']
+
+    frame_b = jnp.asarray(-5.0 * rng.rand(R, N, S), dtype=jnp.float32)
+    num_static = problem['static_bank'].shape[0]
+    be_bank_b = jnp.asarray(-3.0 * rng.rand(R, max(J, 1), S, S),
+                            dtype=jnp.float32)
+
+    from remixt_tpu.ops import fb_scan
+    scan_plan = fb_scan.build_restart_plan(
+        np.asarray(problem['chain_bank_idx']), num_static)
+    a_ref, b_ref, ln_ref = fb_scan.forward_backward_chains_restarts(
+        frame_b, problem['static_bank'], be_bank_b, scan_plan,
+        np.asarray(problem['chain_seg_map']), problem['chain_last'])
+
+    Q, L = problem['chain_seg_map'].shape
+    plan = fb_pallas.build_pallas_plan_restarts_grouped(
+        np.asarray(problem['chain_bank_idx']), num_static, Q, L, S, R, J)
+    a, b, ln = fb_pallas.forward_backward_chains_pallas_grouped(
+        frame_b, problem['static_bank'], be_bank_b,
+        np.asarray(problem['chain_seg_map']), problem['chain_last'], plan,
+        interpret=True)
+
+    floor = -60.0
+    for ref, got in ((np.asarray(a_ref), np.asarray(a)),
+                     (np.asarray(b_ref), np.asarray(b))):
+        significant = ref > (ref.max(axis=-1, keepdims=True) + floor)
+        np.testing.assert_allclose(
+            got[significant], ref[significant], atol=2e-4, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ln), np.asarray(ln_ref), rtol=1e-5)
