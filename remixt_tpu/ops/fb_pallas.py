@@ -472,7 +472,7 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
 
 def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                        frame_ref, cls_ref, static_exp_ref, be_exp_ref,
-                       out_ref, carry_ref, be_scratch, sems,
+                       out_ref, carry_ref, carry_save, be_scratch, sems,
                        *, kmax, num_static, reverse, num_slots, R):
     """Grouped restart-tiled kernel step: per junction, one DMA of the
     (R, Sp, Sp) matrix slab and one contiguous R-lane fix-up."""
@@ -503,6 +503,9 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
             carry = carry_ref[:, :] + frame_ref[0, :, :]
         else:
             carry = carry_ref[:, :]
+        # the fix-ups below need pre-update carry rows at dynamic lanes;
+        # Mosaic only slices refs dynamically, so stash the value
+        carry_save[:, :] = carry
 
         cmax = jnp.max(carry, axis=-1, keepdims=True)
         u = jnp.exp(carry - cmax)
@@ -540,9 +543,9 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                     be_exp_ref.at[sched_slot_ref[k, t]],
                     be_scratch.at[k % num_slots],
                     sems.at[k % num_slots]).wait()
-                u_slab = jax.lax.dynamic_slice_in_dim(u, lane, R, axis=0)
-                cmax_slab = jax.lax.dynamic_slice_in_dim(
-                    cmax, lane, R, axis=0)
+                carry_slab = carry_save[pl.ds(lane, R), :]
+                cmax_slab = jnp.max(carry_slab, axis=-1, keepdims=True)
+                u_slab = jnp.exp(carry_slab - cmax_slab)
                 rows = []
                 for r in range(R):
                     mat = be_scratch[k % num_slots, r, :, :]
@@ -612,8 +615,9 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         out_specs=pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Qp, Sp), jnp.float32),
-            pltpu.VMEM((num_slots, R, Sp, Sp), jnp.float32),
+            pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
+            pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry_save
+            pltpu.VMEM((num_slots, R, Sp, Sp), jnp.float32),   # junction slabs
             pltpu.SemaphoreType.DMA((num_slots,)),
         ],
     )
