@@ -434,9 +434,9 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
     kmax stays the per-column junction count.
     """
     R = num_restarts
+    Rp = _round_up(R, 8)   # Mosaic dynamic sublane slices must be 8-aligned
     Sp = _round_up(S, 128)
-    RQ = R * Q
-    RQp = _round_up(max(RQ, 8), 8)
+    RQp = Q * Rp
 
     cls_idx = chain_bank_idx_np.T.copy()              # (L-1, Q)
     is_be = cls_idx >= num_static_bank
@@ -446,10 +446,10 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
         raise ValueError('too many static transition classes for the kernel')
 
     cls_onehot = np.zeros((L, RQp, CLS_CHANNELS), dtype=np.float32)
-    cls_onehot[:, :, 0] = 1.0
+    cls_onehot[:, :, 0] = 1.0                         # slab pads: cut
     for t in range(1, L):
         for q in range(Q):
-            rows = slice(q * R, (q + 1) * R)
+            rows = slice(q * Rp, q * Rp + R)
             cls_onehot[t, rows, :] = 0.0
             cls_onehot[t, rows, cls_idx[t - 1, q]] = 1.0
 
@@ -461,19 +461,19 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
     fill = np.zeros(L, dtype=np.int32)
     for t, q in zip(steps, lanes):
         col = t + 1
-        sched_lane[fill[col], col] = q * R
+        sched_lane[fill[col], col] = q * Rp
         sched_slot[fill[col], col] = be_slot[t, q]
         fill[col] += 1
 
     return dict(Sp=Sp, Qp=RQp, kmax=kmax, cls_onehot=cls_onehot,
                 sched_lane=sched_lane, sched_slot=sched_slot,
-                num_restarts=R, Q=Q, grouped=True)
+                num_restarts=R, slab=Rp, Q=Q, grouped=True)
 
 
 def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                        frame_ref, cls_ref, static_exp_ref, be_exp_ref,
                        out_ref, carry_ref, carry_save, be_scratch, sems,
-                       *, kmax, num_static, reverse, num_slots, R):
+                       *, kmax, num_static, reverse, num_slots, R, Rp):
     """Grouped restart-tiled kernel step: per junction, one DMA of the
     (R, Sp, Sp) matrix slab and one contiguous R-lane fix-up."""
     t = pl.program_id(0)
@@ -543,7 +543,7 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                     be_exp_ref.at[sched_slot_ref[k, t]],
                     be_scratch.at[k % num_slots],
                     sems.at[k % num_slots]).wait()
-                carry_slab = carry_save[pl.ds(lane, R), :]
+                carry_slab = carry_save[pl.ds(lane, Rp), :]
                 cmax_slab = jnp.max(carry_slab, axis=-1, keepdims=True)
                 u_slab = jnp.exp(carry_slab - cmax_slab)
                 rows = []
@@ -559,13 +559,18 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                                       precision=jax.lax.Precision.HIGHEST)
                     rows.append(s_r)
                 s = jnp.concatenate(rows, axis=0)
-                val = jnp.log(jnp.maximum(s, TINY)) + cmax_slab
+                val = jnp.log(jnp.maximum(s, TINY)) + cmax_slab[:R]
                 if reverse:
                     fixed = val
                 else:
-                    fixed = val + frame_ref[0, pl.ds(lane, R), :]
-                out_ref[0, pl.ds(lane, R), :] = fixed
-                carry_ref[pl.ds(lane, R), :] = fixed
+                    fixed = val + frame_ref[0, pl.ds(lane, Rp), :][:R]
+                # preserve the slab's alignment-pad rows
+                cur_out = out_ref[0, pl.ds(lane, Rp), :]
+                out_ref[0, pl.ds(lane, Rp), :] = jnp.concatenate(
+                    [fixed, cur_out[R:]], axis=0)
+                cur_carry = carry_ref[pl.ds(lane, Rp), :]
+                carry_ref[pl.ds(lane, Rp), :] = jnp.concatenate(
+                    [fixed, cur_carry[R:]], axis=0)
 
             if k + num_slots < kmax:
                 lane_next = sched_lane_ref[k + num_slots, t]
@@ -599,7 +604,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
 
     kernel = functools.partial(
         _fb_kernel_grouped, kmax=kmax, num_static=num_static,
-        reverse=reverse, num_slots=num_slots, R=R)
+        reverse=reverse, num_slots=num_slots, R=R, Rp=plan['slab'])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -643,14 +648,17 @@ def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
     Sp, RQp = plan['Sp'], plan['Qp']
     J = be_bank_b.shape[1]
 
+    Rp = plan['slab']
     pad_row = jnp.zeros((R, 1, S), dtype=frame_b.dtype)
     frame_ext = jnp.concatenate([frame_b, pad_row], axis=1)
     F = frame_ext[:, chain_seg_map.reshape(-1)].reshape(R, Q, L, S)
-    # chain-major lanes: (q, r)
-    Ft = jnp.transpose(F, (2, 1, 0, 3)).reshape(L, Q * R, S)
-    Ftp = jnp.full((L, RQp, Sp), NEG, dtype=jnp.float32)
-    Ftp = Ftp.at[:, Q * R:, :].set(0.0)
-    Ftp = Ftp.at[:, :Q * R, :S].set(Ft.astype(jnp.float32))
+    # chain-major lanes: lane q*Rp + r; slab pads carry zero frames
+    Ft = jnp.transpose(F, (2, 1, 0, 3))               # (L, Q, R, S)
+    Ftp = jnp.zeros((L, Q, Rp, Sp), dtype=jnp.float32)
+    Ftp = Ftp.at[:, :, :R, :].set(NEG)
+    Ftp = Ftp.at[:, :, R:, :].set(0.0)
+    Ftp = Ftp.at[:, :, :R, :S].set(Ft.astype(jnp.float32))
+    Ftp = Ftp.reshape(L, RQp, Sp)
 
     static_exp = jnp.zeros((static_bank.shape[0], Sp, Sp), dtype=jnp.float32)
     static_exp = static_exp.at[:, :S, :S].set(
@@ -670,13 +678,13 @@ def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
         interpret=interpret)
     betas_tm = betas_rev[::-1]
 
-    # lanes (q, r) -> (R, Q, L, S)
+    # lanes (q, rp) -> (R, Q, L, S), dropping slab pads
     alphas_b = jnp.transpose(
-        jnp.swapaxes(alphas_tm, 0, 1)[:Q * R, :, :S].reshape(Q, R, L, S),
-        (1, 0, 2, 3))
+        jnp.swapaxes(alphas_tm, 0, 1)[:, :, :S].reshape(
+            Q, Rp, L, S)[:, :R], (1, 0, 2, 3))
     betas_b = jnp.transpose(
-        jnp.swapaxes(betas_tm, 0, 1)[:Q * R, :, :S].reshape(Q, R, L, S),
-        (1, 0, 2, 3))
+        jnp.swapaxes(betas_tm, 0, 1)[:, :, :S].reshape(
+            Q, Rp, L, S)[:, :R], (1, 0, 2, 3))
 
     from remixt_tpu.ops.special import logsumexp
     last = chain_last[None, :, None, None].astype(jnp.int32) * jnp.ones(
