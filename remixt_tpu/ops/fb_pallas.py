@@ -461,7 +461,9 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
     fill = np.zeros(L, dtype=np.int32)
     for t, q in zip(steps, lanes):
         col = t + 1
-        sched_lane[fill[col], col] = q * Rp
+        # stored divided by 8: the kernel multiplies back so Mosaic can
+        # statically prove the dynamic slab base is 8-aligned
+        sched_lane[fill[col], col] = q * Rp // 8
         sched_slot[fill[col], col] = be_slot[t, q]
         fill[col] += 1
 
@@ -543,7 +545,8 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                     be_exp_ref.at[sched_slot_ref[k, t]],
                     be_scratch.at[k % num_slots],
                     sems.at[k % num_slots]).wait()
-                carry_slab = carry_save[pl.ds(lane, Rp), :]
+                base = lane * 8
+                carry_slab = carry_save[pl.ds(base, Rp), :]
                 cmax_slab = jnp.max(carry_slab, axis=-1, keepdims=True)
                 u_slab = jnp.exp(carry_slab - cmax_slab)
                 rows = []
@@ -563,13 +566,13 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                 if reverse:
                     fixed = val
                 else:
-                    fixed = val + frame_ref[0, pl.ds(lane, Rp), :][:R]
+                    fixed = val + frame_ref[0, pl.ds(base, Rp), :][:R]
                 # preserve the slab's alignment-pad rows
-                cur_out = out_ref[0, pl.ds(lane, Rp), :]
-                out_ref[0, pl.ds(lane, Rp), :] = jnp.concatenate(
+                cur_out = out_ref[0, pl.ds(base, Rp), :]
+                out_ref[0, pl.ds(base, Rp), :] = jnp.concatenate(
                     [fixed, cur_out[R:]], axis=0)
-                cur_carry = carry_ref[pl.ds(lane, Rp), :]
-                carry_ref[pl.ds(lane, Rp), :] = jnp.concatenate(
+                cur_carry = carry_ref[pl.ds(base, Rp), :]
+                carry_ref[pl.ds(base, Rp), :] = jnp.concatenate(
                     [fixed, cur_carry[R:]], axis=0)
 
             if k + num_slots < kmax:
