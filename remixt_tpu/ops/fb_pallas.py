@@ -225,7 +225,7 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
             pl.BlockSpec((1, Qp, CLS_CHANNELS), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # static_exp resident
-            pl.BlockSpec(memory_space=pltpu.ANY),    # be_exp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # be_exp stays in HBM
         ],
         out_specs=pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -618,7 +618,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
             pl.BlockSpec((1, Qp, CLS_CHANNELS), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -630,10 +630,18 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         ],
     )
 
+    # the junction slabs alone are num_slots*R*Sp^2 floats (~14 MB at
+    # R=12, Sp=384) — beyond the 16 MB default scoped-VMEM budget, so ask
+    # Mosaic for a larger window (v5e has 128 MB VMEM per core)
+    vmem_bytes = 4 * (num_slots * R * Sp * Sp + 2 * Qp * Sp) \
+        + 4 * 2 * Qp * (Sp + CLS_CHANNELS) + 4 * num_static * Sp * Sp \
+        + 8 * 1024 * 1024
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((L, Qp, Sp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 110 * 1024 * 1024)),
         interpret=interpret,
     )(jnp.asarray(sched_lane), jnp.asarray(sched_slot),
       frame_tm, jnp.asarray(cls_onehot), static_exp, be_exp_grouped)
