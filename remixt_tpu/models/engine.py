@@ -296,6 +296,11 @@ class ModelSpec:
 
         # opt-in Pallas forward-backward kernel (TPU, float32)
         self.use_pallas = False
+        # experimental chain-major grouped restart tiling for the Pallas
+        # restart kernel (one DMA per junction instead of R): faults on
+        # real whole-genome schedules on current Mosaic — keep off until
+        # the kernel is TPU-validated (tests cover it in interpret mode)
+        self.pallas_grouped = False
         self._pallas_plan = None
 
         self._jit_cache = {}
@@ -320,13 +325,16 @@ class ModelSpec:
         cache = getattr(self, '_pallas_restart_plans', None)
         if cache is None:
             cache = self._pallas_restart_plans = {}
-        if num_restarts not in cache:
+        grouped = bool(getattr(self, 'pallas_grouped', False))
+        key = (num_restarts, grouped)
+        if key not in cache:
             from remixt_tpu.ops import fb_pallas
-            cache[num_restarts] = (
-                fb_pallas.build_pallas_plan_restarts_grouped(
-                    np.asarray(self.chain_bank_idx), self.num_static_bank,
-                    self.Q, self.L, self.S, num_restarts, self.J))
-        return cache[num_restarts]
+            build = (fb_pallas.build_pallas_plan_restarts_grouped if grouped
+                     else fb_pallas.build_pallas_plan_restarts)
+            cache[key] = build(
+                np.asarray(self.chain_bank_idx), self.num_static_bank,
+                self.Q, self.L, self.S, num_restarts, self.J)
+        return cache[key]
 
     # -- initial pytrees -----------------------------------------------------
 
@@ -742,14 +750,17 @@ def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b):
         lambda pb: breakend_tmats(spec, pb))(state_b.p_breakpoint)
 
     if spec.use_pallas and spec.chain_constraint is None:
-        # grouped restart-tiled Pallas kernel: chain-major lanes, one DMA
-        # per junction delivering every restart's matrix
+        # restart-tiled Pallas kernel: restarts folded into lanes; the
+        # chain-major grouped variant (one DMA per junction) is opt-in via
+        # spec.pallas_grouped until it is TPU-validated
         from remixt_tpu.ops import fb_pallas
-        alphas, betas, log_norm = (
-            fb_pallas.forward_backward_chains_pallas_grouped(
-                frame_b, spec.static_bank, be_bank_b,
-                np.asarray(spec.chain_seg_map), spec.chain_last,
-                spec.pallas_restart_plan(R)))
+        run = (fb_pallas.forward_backward_chains_pallas_grouped
+               if getattr(spec, 'pallas_grouped', False)
+               else fb_pallas.forward_backward_chains_pallas_restarts)
+        alphas, betas, log_norm = run(
+            frame_b, spec.static_bank, be_bank_b,
+            np.asarray(spec.chain_seg_map), spec.chain_last,
+            spec.pallas_restart_plan(R))
     else:
         alphas, betas, log_norm = fb_scan.forward_backward_chains_restarts(
             frame_b, spec.static_bank, be_bank_b, spec.restart_plan,
