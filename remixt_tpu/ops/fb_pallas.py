@@ -456,14 +456,12 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
     steps, lanes = np.nonzero(is_be)
     kmax = max(int(np.bincount(steps, minlength=1).max())
                if len(steps) else 1, 1)
-    sched_lane = -np.ones((kmax, L), dtype=np.int32)  # slab base lane
+    sched_lane = -np.ones((kmax, L), dtype=np.int32)  # slab base lane (q*Rp)
     sched_slot = np.zeros((kmax, L), dtype=np.int32)  # junction index
     fill = np.zeros(L, dtype=np.int32)
     for t, q in zip(steps, lanes):
         col = t + 1
-        # stored divided by 8: the kernel multiplies back so Mosaic can
-        # statically prove the dynamic slab base is 8-aligned
-        sched_lane[fill[col], col] = q * Rp // 8
+        sched_lane[fill[col], col] = q * Rp
         sched_slot[fill[col], col] = be_slot[t, q]
         fill[col] += 1
 
@@ -474,11 +472,16 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
 
 def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                        frame_ref, cls_ref, static_exp_ref, be_exp_ref,
-                       out_ref, carry_ref, carry_save, be_scratch, sems,
+                       out_ref, carry_ref, be_scratch, sems,
                        *, kmax, num_static, reverse, num_slots, R, Rp):
     """Grouped restart-tiled kernel step: per junction, one DMA of the
-    (R, Sp, Sp) matrix slab and one contiguous R-lane fix-up."""
+    (R, Sp, Sp) matrix slab and one R-lane fix-up.
+
+    The fix-up addresses the slab's lanes with one-hot selection matmuls
+    and masked full-plane writes only — no dynamic sublane slicing, which
+    Mosaic miscompiles/faults at production lane counts (Qp > 256)."""
     t = pl.program_id(0)
+    Qp = carry_ref.shape[0]
 
     @pl.when(t == 0)
     def _init():
@@ -505,9 +508,6 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
             carry = carry_ref[:, :] + frame_ref[0, :, :]
         else:
             carry = carry_ref[:, :]
-        # the fix-ups below need pre-update carry rows at dynamic lanes;
-        # Mosaic only slices refs dynamically, so stash the value
-        carry_save[:, :] = carry
 
         cmax = jnp.max(carry, axis=-1, keepdims=True)
         u = jnp.exp(carry - cmax)
@@ -536,6 +536,8 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
             out_ref[0, :, :] = out_val
             carry_ref[:, :] = out_val
 
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, 1), 0)
+
         for k in range(kmax):
             lane = sched_lane_ref[k, t]
 
@@ -545,10 +547,17 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                     be_exp_ref.at[sched_slot_ref[k, t]],
                     be_scratch.at[k % num_slots],
                     sems.at[k % num_slots]).wait()
-                base = lane * 8
-                carry_slab = carry_save[pl.ds(base, Rp), :]
-                cmax_slab = jnp.max(carry_slab, axis=-1, keepdims=True)
-                u_slab = jnp.exp(carry_slab - cmax_slab)
+                # gather the slab's R lanes of (pre-update) u and cmax with
+                # a one-hot (Rp, Qp) selection matmul: exact, since each
+                # output row has exactly one unit coefficient
+                slab_iota = jax.lax.broadcasted_iota(jnp.int32, (Rp, Qp), 0)
+                col_iota = jax.lax.broadcasted_iota(jnp.int32, (Rp, Qp), 1)
+                sel = (col_iota == lane + slab_iota).astype(jnp.float32)
+                u_slab = jnp.dot(sel, u, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                cmax_slab = jnp.dot(sel, cmax,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
                 rows = []
                 for r in range(R):
                     mat = be_scratch[k % num_slots, r, :, :]
@@ -561,19 +570,20 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                                       preferred_element_type=jnp.float32,
                                       precision=jax.lax.Precision.HIGHEST)
                     rows.append(s_r)
-                s = jnp.concatenate(rows, axis=0)
-                val = jnp.log(jnp.maximum(s, TINY)) + cmax_slab[:R]
-                if reverse:
-                    fixed = val
-                else:
-                    fixed = val + frame_ref[0, pl.ds(base, Rp), :][:R]
-                # preserve the slab's alignment-pad rows
-                cur_out = out_ref[0, pl.ds(base, Rp), :]
-                out_ref[0, pl.ds(base, Rp), :] = jnp.concatenate(
-                    [fixed, cur_out[R:]], axis=0)
-                cur_carry = carry_ref[pl.ds(base, Rp), :]
-                carry_ref[pl.ds(base, Rp), :] = jnp.concatenate(
-                    [fixed, cur_carry[R:]], axis=0)
+                s = jnp.concatenate(
+                    rows + [jnp.zeros((Rp - R, s_r.shape[1]), jnp.float32)],
+                    axis=0)
+                val = jnp.log(jnp.maximum(s, TINY)) + cmax_slab
+                # scatter back to the full plane (selᵀ) and overwrite the
+                # slab's R real lanes; alignment-pad lanes keep their value
+                full = jnp.dot(sel.T, val,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                if not reverse:
+                    full = full + frame_ref[0, :, :]
+                mask = (row_iota >= lane) & (row_iota < lane + R)
+                out_ref[0, :, :] = jnp.where(mask, full, out_ref[0, :, :])
+                carry_ref[:, :] = jnp.where(mask, full, carry_ref[:, :])
 
             if k + num_slots < kmax:
                 lane_next = sched_lane_ref[k + num_slots, t]
@@ -624,7 +634,6 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
-            pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry_save
             pltpu.VMEM((num_slots, R, Sp, Sp), jnp.float32),   # junction slabs
             pltpu.SemaphoreType.DMA((num_slots,)),
         ],
