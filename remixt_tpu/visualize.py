@@ -7,8 +7,11 @@ solution data embedded as JSON, rendered with inline JavaScript on HTML
 canvas. Linked-panel interactivity matches the reference app: a solution
 selector and clickable statistics rows, a chromosome zoom selector, a
 drag-brush x-range shared across all tracks (double-click resets), hover
-tooltips with per-segment details, and toggleable breakpoint arcs. No
-external network or library dependencies.
+tooltips with per-segment details, toggleable breakpoint arcs, and a raw
+major-vs-minor scatter panel (point area ~ segment length, chromosome
+colors, reference visualize.py:40-61) whose box-select highlights the
+chosen segments on every genome track (linked brushing). No external
+network or library dependencies.
 """
 
 import json
@@ -113,13 +116,22 @@ tr.selected {{ background: #e6f2ff; }}
 <h3>clone copy number</h3>
 <canvas id="clone1" width="1200" height="180"></canvas>
 <canvas id="clone2" width="1200" height="180"></canvas>
+<h3>raw major vs minor <span style="font-size:11px;color:#666">(drag a box to highlight segments on the tracks, double-click to clear)</span></h3>
+<canvas id="scatter" width="620" height="420"></canvas>
 <h3>solution statistics <span style="font-size:11px;color:#666">(click a row to select)</span></h3>
 <div id="stats"></div>
 <div id="tooltip"></div>
 <script>
 const DATA = {data_json};
 const PAD = 30;
-const view = {{ solution: DATA.best, x0: 0, x1: DATA.genome_length }};
+const view = {{ solution: DATA.best, x0: 0, x1: DATA.genome_length,
+               selected: null }};
+
+function chromColor(sol, chrom) {{
+  const idx = sol.chrom_marks.findIndex(m => m.name === chrom);
+  const hue = (idx * 360 / Math.max(sol.chrom_marks.length, 1)) % 360;
+  return 'hsl(' + hue + ', 65%, 45%)';
+}}
 
 function visibleSegments(segments) {{
   return segments.filter(s => s.x1 > view.x0 && s.x0 < view.x1);
@@ -171,6 +183,23 @@ function drawTrack(canvas, sol, majorCol, minorCol, maxCopies, withArcs) {{
     ctx.lineWidth = 1.0;
   }}
 
+  if (view.selected && view.selected.size) {{
+    ctx.strokeStyle = '#111';
+    ctx.lineWidth = 3.0;
+    for (const i of view.selected) {{
+      const seg = sol.segments[i];
+      if (!seg || seg.x1 <= view.x0 || seg.x0 >= view.x1) continue;
+      for (const col of [majorCol, minorCol]) {{
+        if (seg[col] === null || seg[col] === undefined) continue;
+        ctx.beginPath();
+        ctx.moveTo(sx(Math.max(seg.x0, view.x0)), sy(seg[col]));
+        ctx.lineTo(sx(Math.min(seg.x1, view.x1)), sy(seg[col]));
+        ctx.stroke();
+      }}
+    }}
+    ctx.lineWidth = 1.0;
+  }}
+
   if (withArcs && document.getElementById('arcs').checked) {{
     ctx.strokeStyle = 'rgba(80,80,80,0.55)';
     for (const brk of sol.breakpoints || []) {{
@@ -209,11 +238,64 @@ function renderStats() {{
     tr.addEventListener('click', () => {{
       if (DATA.solutions[tr.dataset.id]) {{
         view.solution = tr.dataset.id;
+        view.selected = null;
         document.getElementById('solution').value = tr.dataset.id;
         render();
       }}
     }});
   }}
+}}
+
+// raw major (y) vs minor (x) scatter, point area ~ segment length,
+// colored by chromosome (reference visualize.py:40-61)
+const SCAT = {{ xmin: -0.5, xmax: 6.5, ymin: -0.5, ymax: 4.5 }};
+
+function scatterScales(canvas) {{
+  const sx = x => PAD + (canvas.width - 2 * PAD)
+      * (x - SCAT.xmin) / (SCAT.xmax - SCAT.xmin);
+  const sy = y => canvas.height - PAD - (canvas.height - 2 * PAD)
+      * (y - SCAT.ymin) / (SCAT.ymax - SCAT.ymin);
+  return [sx, sy];
+}}
+
+function drawScatter(canvas, sol) {{
+  const ctx = canvas.getContext('2d');
+  ctx.clearRect(0, 0, canvas.width, canvas.height);
+  const [sx, sy] = scatterScales(canvas);
+  ctx.font = '9px sans-serif';
+  ctx.fillStyle = '#666';
+  for (let v = 0; v <= 6; v++) {{
+    ctx.strokeStyle = '#eee';
+    ctx.beginPath();
+    ctx.moveTo(sx(v), PAD); ctx.lineTo(sx(v), canvas.height - PAD);
+    ctx.stroke();
+    ctx.fillText(v, sx(v) - 2, canvas.height - PAD + 12);
+    if (v <= 4) {{
+      ctx.beginPath();
+      ctx.moveTo(PAD, sy(v)); ctx.lineTo(canvas.width - PAD, sy(v));
+      ctx.stroke();
+      ctx.fillText(v, 6, sy(v) + 3);
+    }}
+  }}
+  ctx.fillText('minor_raw', canvas.width / 2 - 20, canvas.height - 6);
+  const maxLen = Math.max(...sol.segments.map(s => s.length || 0), 1);
+  sol.segments.forEach((seg, i) => {{
+    if (seg.major_raw === null || seg.major_raw === undefined ||
+        seg.minor_raw === null || seg.minor_raw === undefined) return;
+    const r = 1.5 + 6 * Math.sqrt((seg.length || 0) / maxLen);
+    ctx.beginPath();
+    ctx.arc(sx(seg.minor_raw), sy(seg.major_raw), r, 0, 2 * Math.PI);
+    const sel = view.selected && view.selected.has(i);
+    ctx.globalAlpha = sel ? 0.9 : 0.45;
+    ctx.fillStyle = chromColor(sol, seg.chrom);
+    ctx.fill();
+    if (sel) {{
+      ctx.globalAlpha = 1.0;
+      ctx.strokeStyle = '#111';
+      ctx.stroke();
+    }}
+  }});
+  ctx.globalAlpha = 1.0;
 }}
 
 function render() {{
@@ -222,8 +304,67 @@ function render() {{
   drawTrack(document.getElementById('raw'), sol, 'major_raw', 'minor_raw', 4, true);
   drawTrack(document.getElementById('clone1'), sol, 'major_1', 'minor_1', 4, false);
   drawTrack(document.getElementById('clone2'), sol, 'major_2', 'minor_2', 4, false);
+  drawScatter(document.getElementById('scatter'), sol);
   renderStats();
 }}
+
+// scatter box-select -> highlight segments on all tracks (linked brushing)
+(function () {{
+  const canvas = document.getElementById('scatter');
+  let start = null;
+  canvas.addEventListener('mousedown', e => {{
+    start = [e.offsetX, e.offsetY];
+  }});
+  canvas.addEventListener('mouseup', e => {{
+    if (!start) return;
+    const [ax, ay] = start;
+    start = null;
+    const bx = e.offsetX, by = e.offsetY;
+    if (Math.abs(bx - ax) < 4 && Math.abs(by - ay) < 4) return;
+    const sol = DATA.solutions[view.solution];
+    if (!sol) return;
+    const [sx, sy] = scatterScales(canvas);
+    const x0 = Math.min(ax, bx), x1 = Math.max(ax, bx);
+    const y0 = Math.min(ay, by), y1 = Math.max(ay, by);
+    const sel = new Set();
+    sol.segments.forEach((seg, i) => {{
+      if (seg.major_raw === null || seg.major_raw === undefined ||
+          seg.minor_raw === null || seg.minor_raw === undefined) return;
+      const px = sx(seg.minor_raw), py = sy(seg.major_raw);
+      if (px >= x0 && px <= x1 && py >= y0 && py <= y1) sel.add(i);
+    }});
+    view.selected = sel.size ? sel : null;
+    render();
+  }});
+  canvas.addEventListener('dblclick', () => {{
+    view.selected = null;
+    render();
+  }});
+  canvas.addEventListener('mousemove', e => {{
+    const sol = DATA.solutions[view.solution];
+    if (!sol) return;
+    const [sx, sy] = scatterScales(canvas);
+    let best = null, bestD = 64;
+    sol.segments.forEach(seg => {{
+      if (seg.major_raw === null || seg.major_raw === undefined ||
+          seg.minor_raw === null || seg.minor_raw === undefined) return;
+      const dx = sx(seg.minor_raw) - e.offsetX;
+      const dy = sy(seg.major_raw) - e.offsetY;
+      const d = dx * dx + dy * dy;
+      if (d < bestD) {{ best = seg; bestD = d; }}
+    }});
+    if (!best) {{ tooltip.style.display = 'none'; return; }}
+    tooltip.innerHTML = best.chrom + ':' + best.start + '-' + best.end +
+        '<br>major_raw = ' + best.major_raw +
+        '<br>minor_raw = ' + best.minor_raw;
+    tooltip.style.left = (e.pageX + 12) + 'px';
+    tooltip.style.top = (e.pageY + 12) + 'px';
+    tooltip.style.display = 'block';
+  }});
+  canvas.addEventListener('mouseleave', () => {{
+    tooltip.style.display = 'none';
+  }});
+}})();
 
 // solution selector
 const select = document.getElementById('solution');
@@ -235,7 +376,9 @@ for (const id of Object.keys(DATA.solutions)) {{
   select.appendChild(opt);
 }}
 select.value = DATA.best;
-select.addEventListener('change', () => {{ view.solution = select.value; render(); }});
+select.addEventListener('change', () => {{
+  view.solution = select.value; view.selected = null; render();
+}});
 
 // chromosome zoom selector
 const chromSel = document.getElementById('chromosome');
