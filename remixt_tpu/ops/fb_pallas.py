@@ -216,18 +216,33 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
         _fb_kernel_wrapped, kmax=kmax, num_static=num_static,
         reverse=reverse, num_slots=num_slots)
 
+    # Both directions stream the SAME forward-time frame array: the
+    # reverse recursion reads frame step L-t (what a host-side
+    # ``concat([zeros, Ftp[::-1][:-1]])`` would hold at step t; the t=0
+    # block is fetched but unread — the init step writes zeros) and
+    # writes its output block at time L-1-t so betas come out in forward
+    # time order. Folding the flip/shift into the index maps avoids
+    # materializing reversed copies of the (L, Qp, Sp) frame and output
+    # arrays in HBM.
+    if reverse:
+        frame_idx = lambda t, *_: (jnp.where(t == 0, 0, L - t), 0, 0)
+        out_idx = lambda t, *_: (L - 1 - t, 0, 0)
+    else:
+        frame_idx = lambda t, *_: (t, 0, 0)
+        out_idx = lambda t, *_: (t, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, Qp, Sp), frame_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp, CLS_CHANNELS), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # static_exp resident
             pl.BlockSpec(memory_space=pl.ANY),    # be_exp stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, Qp, Sp), out_idx,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
@@ -284,14 +299,11 @@ def forward_backward_chains_pallas(framelogprob, static_bank, be_bank,
     alphas_tm = _run_direction(
         Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
         interpret=interpret)
-
-    # reverse frame input: H[t] = flipped F shifted by one (H[0] unused)
-    Hrev = jnp.concatenate(
-        [jnp.zeros((1, Qp, Sp), dtype=jnp.float32), Ftp[::-1][:-1]], axis=0)
-    betas_rev = _run_direction(
-        Hrev, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
+    # the reverse runner reads Ftp through a shifted-reversed index map
+    # and writes betas in forward time order (no reversed HBM copies)
+    betas_tm = _run_direction(
+        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
         interpret=interpret)
-    betas_tm = betas_rev[::-1]
 
     alphas_b = jnp.swapaxes(alphas_tm, 0, 1)[:Q, :, :S]   # (Q, L, S)
     betas_b = jnp.swapaxes(betas_tm, 0, 1)[:Q, :, :S]
@@ -397,13 +409,11 @@ def forward_backward_chains_pallas_restarts(frame_b, static_bank, be_bank_b,
     alphas_tm = _run_direction(
         Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
         interpret=interpret)
-
-    Hrev = jnp.concatenate(
-        [jnp.zeros((1, RQp, Sp), dtype=jnp.float32), Ftp[::-1][:-1]], axis=0)
-    betas_rev = _run_direction(
-        Hrev, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
+    # the reverse runner reads Ftp through a shifted-reversed index map
+    # and writes betas in forward time order (no reversed HBM copies)
+    betas_tm = _run_direction(
+        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
         interpret=interpret)
-    betas_tm = betas_rev[::-1]
 
     alphas_b = jnp.swapaxes(alphas_tm, 0, 1)[:R * Q, :, :S].reshape(
         R, Q, L, S)
@@ -432,11 +442,17 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
     (J, R, S, S) bank — one DMA and one R-row lane-slab fix-up per
     junction, instead of R separate DMAs and full-plane masked writes.
     kmax stays the per-column junction count.
+
+    Lanes pack densely (lane = q*R + r, no per-chain alignment padding —
+    the fix-up addresses slabs with one-hot matmuls, not dynamic slices);
+    only the tail pads to a sublane multiple. This also keeps the
+    (L, Qp, Sp) streamed arrays under Mosaic's 2**27-byte per-array
+    limit (see forward_backward_chains_pallas_grouped) at production
+    scale.
     """
     R = num_restarts
-    Rp = _round_up(R, 8)   # Mosaic dynamic sublane slices must be 8-aligned
     Sp = _round_up(S, 128)
-    RQp = Q * Rp
+    RQp = _round_up(max(Q * R, 8), 8)
 
     cls_idx = chain_bank_idx_np.T.copy()              # (L-1, Q)
     is_be = cls_idx >= num_static_bank
@@ -446,34 +462,34 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
         raise ValueError('too many static transition classes for the kernel')
 
     cls_onehot = np.zeros((L, RQp, CLS_CHANNELS), dtype=np.float32)
-    cls_onehot[:, :, 0] = 1.0                         # slab pads: cut
+    cls_onehot[:, :, 0] = 1.0                         # tail pads: cut
     for t in range(1, L):
         for q in range(Q):
-            rows = slice(q * Rp, q * Rp + R)
+            rows = slice(q * R, q * R + R)
             cls_onehot[t, rows, :] = 0.0
             cls_onehot[t, rows, cls_idx[t - 1, q]] = 1.0
 
     steps, lanes = np.nonzero(is_be)
     kmax = max(int(np.bincount(steps, minlength=1).max())
                if len(steps) else 1, 1)
-    sched_lane = -np.ones((kmax, L), dtype=np.int32)  # slab base lane (q*Rp)
+    sched_lane = -np.ones((kmax, L), dtype=np.int32)  # slab base lane (q*R)
     sched_slot = np.zeros((kmax, L), dtype=np.int32)  # junction index
     fill = np.zeros(L, dtype=np.int32)
     for t, q in zip(steps, lanes):
         col = t + 1
-        sched_lane[fill[col], col] = q * Rp
+        sched_lane[fill[col], col] = q * R
         sched_slot[fill[col], col] = be_slot[t, q]
         fill[col] += 1
 
     return dict(Sp=Sp, Qp=RQp, kmax=kmax, cls_onehot=cls_onehot,
                 sched_lane=sched_lane, sched_slot=sched_slot,
-                num_restarts=R, slab=Rp, Q=Q, grouped=True)
+                num_restarts=R, Q=Q, grouped=True)
 
 
 def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                        frame_ref, cls_ref, static_exp_ref, be_exp_ref,
                        out_ref, carry_ref, be_scratch, sems,
-                       *, kmax, num_static, reverse, num_slots, R, Rp):
+                       *, kmax, num_static, reverse, num_slots, R):
     """Grouped restart-tiled kernel step: per junction, one DMA of the
     (R, Sp, Sp) matrix slab and one R-lane fix-up.
 
@@ -548,10 +564,10 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                     be_scratch.at[k % num_slots],
                     sems.at[k % num_slots]).wait()
                 # gather the slab's R lanes of (pre-update) u and cmax with
-                # a one-hot (Rp, Qp) selection matmul: exact, since each
+                # a one-hot (R, Qp) selection matmul: exact, since each
                 # output row has exactly one unit coefficient
-                slab_iota = jax.lax.broadcasted_iota(jnp.int32, (Rp, Qp), 0)
-                col_iota = jax.lax.broadcasted_iota(jnp.int32, (Rp, Qp), 1)
+                slab_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 0)
+                col_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 1)
                 sel = (col_iota == lane + slab_iota).astype(jnp.float32)
                 u_slab = jnp.dot(sel, u, preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)
@@ -570,12 +586,10 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                                       preferred_element_type=jnp.float32,
                                       precision=jax.lax.Precision.HIGHEST)
                     rows.append(s_r)
-                s = jnp.concatenate(
-                    rows + [jnp.zeros((Rp - R, s_r.shape[1]), jnp.float32)],
-                    axis=0)
+                s = jnp.concatenate(rows, axis=0)
                 val = jnp.log(jnp.maximum(s, TINY)) + cmax_slab
                 # scatter back to the full plane (selᵀ) and overwrite the
-                # slab's R real lanes; alignment-pad lanes keep their value
+                # slab's R lanes; other lanes keep their value
                 full = jnp.dot(sel.T, val,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
@@ -617,20 +631,36 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
 
     kernel = functools.partial(
         _fb_kernel_grouped, kmax=kmax, num_static=num_static,
-        reverse=reverse, num_slots=num_slots, R=R, Rp=plan['slab'])
+        reverse=reverse, num_slots=num_slots, R=R)
+
+    # Both directions stream the SAME forward-time frame array; the
+    # reverse recursion reads frame step L-t (the shifted reversed
+    # sequence, i.e. what a host-side
+    # ``concat([zeros, Ftp[::-1][:-1]])`` would hold at step t — the
+    # t=0 block is fetched but unread: the kernel's init step writes
+    # zeros) and writes its output block at time L-1-t, so betas come
+    # out in forward time order. Folding both into index maps avoids
+    # materializing a reversed copy of the 100+ MB frame and output
+    # arrays in HBM.
+    if reverse:
+        frame_idx = lambda t, *_: (jnp.where(t == 0, 0, L - t), 0, 0)
+        out_idx = lambda t, *_: (L - 1 - t, 0, 0)
+    else:
+        frame_idx = lambda t, *_: (t, 0, 0)
+        out_idx = lambda t, *_: (t, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, Qp, Sp), frame_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp, CLS_CHANNELS), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, Qp, Sp), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, Qp, Sp), out_idx,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
@@ -668,17 +698,16 @@ def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
     Sp, RQp = plan['Sp'], plan['Qp']
     J = be_bank_b.shape[1]
 
-    Rp = plan['slab']
     pad_row = jnp.zeros((R, 1, S), dtype=frame_b.dtype)
     frame_ext = jnp.concatenate([frame_b, pad_row], axis=1)
     F = frame_ext[:, chain_seg_map.reshape(-1)].reshape(R, Q, L, S)
-    # chain-major lanes: lane q*Rp + r; slab pads carry zero frames
+    # chain-major lanes: lane q*R + r, densely packed; tail pads carry
+    # zero frames
     Ft = jnp.transpose(F, (2, 1, 0, 3))               # (L, Q, R, S)
-    Ftp = jnp.zeros((L, Q, Rp, Sp), dtype=jnp.float32)
-    Ftp = Ftp.at[:, :, :R, :].set(NEG)
-    Ftp = Ftp.at[:, :, R:, :].set(0.0)
-    Ftp = Ftp.at[:, :, :R, :S].set(Ft.astype(jnp.float32))
-    Ftp = Ftp.reshape(L, RQp, Sp)
+    Ftp = jnp.full((L, RQp, Sp), NEG, dtype=jnp.float32)
+    Ftp = Ftp.at[:, Q * R:, :].set(0.0)
+    Ftp = Ftp.at[:, :Q * R, :S].set(
+        Ft.reshape(L, Q * R, S).astype(jnp.float32))
 
     static_exp = jnp.zeros((static_bank.shape[0], Sp, Sp), dtype=jnp.float32)
     static_exp = static_exp.at[:, :S, :S].set(
@@ -691,20 +720,19 @@ def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
     alphas_tm = _run_direction_grouped(
         Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
         interpret=interpret)
-    Hrev = jnp.concatenate(
-        [jnp.zeros((1, RQp, Sp), dtype=jnp.float32), Ftp[::-1][:-1]], axis=0)
-    betas_rev = _run_direction_grouped(
-        Hrev, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
+    # the reverse runner reads Ftp through a shifted-reversed index map
+    # and writes betas in forward time order (no reversed HBM copies)
+    betas_tm = _run_direction_grouped(
+        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
         interpret=interpret)
-    betas_tm = betas_rev[::-1]
 
-    # lanes (q, rp) -> (R, Q, L, S), dropping slab pads
+    # lanes (q, r) -> (R, Q, L, S), dropping tail pads
     alphas_b = jnp.transpose(
-        jnp.swapaxes(alphas_tm, 0, 1)[:, :, :S].reshape(
-            Q, Rp, L, S)[:, :R], (1, 0, 2, 3))
+        jnp.swapaxes(alphas_tm, 0, 1)[:Q * R, :, :S].reshape(
+            Q, R, L, S), (1, 0, 2, 3))
     betas_b = jnp.transpose(
-        jnp.swapaxes(betas_tm, 0, 1)[:, :, :S].reshape(
-            Q, Rp, L, S)[:, :R], (1, 0, 2, 3))
+        jnp.swapaxes(betas_tm, 0, 1)[:Q * R, :, :S].reshape(
+            Q, R, L, S), (1, 0, 2, 3))
 
     from remixt_tpu.ops.special import logsumexp
     last = chain_last[None, :, None, None].astype(jnp.int32) * jnp.ones(
