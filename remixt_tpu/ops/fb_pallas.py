@@ -495,9 +495,22 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
 
     The fix-up addresses the slab's lanes with one-hot selection matmuls
     and masked full-plane writes only — no dynamic sublane slicing, which
-    Mosaic miscompiles/faults at production lane counts (Qp > 256)."""
+    Mosaic miscompiles/faults at production lane counts (Qp > 256).
+
+    Junction slabs are fetched as R separate per-restart (Sp, Sp) copies,
+    not one 3D (R, Sp, Sp) slab copy: the large slab DMAs from a
+    multi-GB junction bank fault on hardware (measured at J=600,
+    Sp=384), while the per-matrix copy pattern is exactly what the
+    restart-tiled kernel runs in production."""
     t = pl.program_id(0)
     Qp = carry_ref.shape[0]
+
+    def _fetch_slab(k, slot):
+        for r in range(R):
+            pltpu.make_async_copy(
+                be_exp_ref.at[slot * R + r],
+                be_scratch.at[k % num_slots, r],
+                sems.at[k % num_slots, r]).start()
 
     @pl.when(t == 0)
     def _init():
@@ -515,10 +528,7 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
 
             @pl.when(lane >= 0)
             def _start(k=k):
-                slot = sched_slot_ref[k, t]
-                pltpu.make_async_copy(
-                    be_exp_ref.at[slot], be_scratch.at[k % num_slots],
-                    sems.at[k % num_slots]).start()
+                _fetch_slab(k, sched_slot_ref[k, t])
 
         if reverse:
             carry = carry_ref[:, :] + frame_ref[0, :, :]
@@ -559,10 +569,12 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
 
             @pl.when(lane >= 0)
             def _apply(k=k):
-                pltpu.make_async_copy(
-                    be_exp_ref.at[sched_slot_ref[k, t]],
-                    be_scratch.at[k % num_slots],
-                    sems.at[k % num_slots]).wait()
+                slot = sched_slot_ref[k, t]
+                for r in range(R):
+                    pltpu.make_async_copy(
+                        be_exp_ref.at[slot * R + r],
+                        be_scratch.at[k % num_slots, r],
+                        sems.at[k % num_slots, r]).wait()
                 # gather the slab's R lanes of (pre-update) u and cmax with
                 # a one-hot (R, Qp) selection matmul: exact, since each
                 # output row has exactly one unit coefficient
@@ -604,15 +616,13 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
 
                 @pl.when(lane_next >= 0)
                 def _start_next(k=k):
-                    pltpu.make_async_copy(
-                        be_exp_ref.at[sched_slot_ref[k + num_slots, t]],
-                        be_scratch.at[k % num_slots],
-                        sems.at[k % num_slots]).start()
+                    _fetch_slab(k, sched_slot_ref[k + num_slots, t])
 
 
 def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
                            plan, reverse, interpret=False):
-    """Grouped-kernel direction runner; be_exp_grouped is (J, R, Sp, Sp)."""
+    """Grouped-kernel direction runner; be_exp_grouped is (J*R, Sp, Sp),
+    junction-major (junction j's restart slab at rows [j*R, (j+1)*R))."""
     L, Qp, Sp = frame_tm.shape
     kmax = plan['kmax']
     R = plan['num_restarts']
@@ -665,7 +675,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         scratch_shapes=[
             pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
             pltpu.VMEM((num_slots, R, Sp, Sp), jnp.float32),   # junction slabs
-            pltpu.SemaphoreType.DMA((num_slots,)),
+            pltpu.SemaphoreType.DMA((num_slots, R)),
         ],
     )
 
@@ -712,10 +722,16 @@ def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
     static_exp = jnp.zeros((static_bank.shape[0], Sp, Sp), dtype=jnp.float32)
     static_exp = static_exp.at[:, :S, :S].set(
         jnp.exp(static_bank).astype(jnp.float32))
-    be_exp = jnp.zeros((max(J, 1), R, Sp, Sp), dtype=jnp.float32)
+    # 3D junction-major bank (J*R, Sp, Sp), slab of junction j at rows
+    # [j*R, (j+1)*R): a 4D (J, R, Sp, Sp) ANY-space ref faults on
+    # hardware at production scale (large streamed arrays + multi-GB
+    # bank), while this flat layout is the restart-tiled kernel's proven
+    # addressing pattern
+    be_exp = jnp.zeros((max(J, 1) * R, Sp, Sp), dtype=jnp.float32)
     if J:
-        be_exp = be_exp.at[:, :, :S, :S].set(
-            jnp.exp(jnp.swapaxes(be_bank_b, 0, 1)).astype(jnp.float32))
+        be_exp = be_exp.at[:J * R, :S, :S].set(
+            jnp.exp(jnp.swapaxes(be_bank_b, 0, 1)).astype(
+                jnp.float32).reshape(J * R, S, S))
 
     alphas_tm = _run_direction_grouped(
         Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
