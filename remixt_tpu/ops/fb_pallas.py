@@ -445,10 +445,7 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
 
     Lanes pack densely (lane = q*R + r, no per-chain alignment padding —
     the fix-up addresses slabs with one-hot matmuls, not dynamic slices);
-    only the tail pads to a sublane multiple. This also keeps the
-    (L, Qp, Sp) streamed arrays under Mosaic's 2**27-byte per-array
-    limit (see forward_backward_chains_pallas_grouped) at production
-    scale.
+    only the tail pads to a sublane multiple.
     """
     R = num_restarts
     Sp = _round_up(S, 128)
@@ -490,7 +487,7 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                        frame_ref, cls_ref, static_exp_ref, be_exp_ref,
                        out_ref, carry_ref, be_scratch, sems,
                        *, kmax, num_static, reverse, num_slots, R):
-    """Grouped restart-tiled kernel step: per junction, one DMA of the
+    """Grouped restart-tiled kernel step: per junction, one fetch of the
     (R, Sp, Sp) matrix slab and one R-lane fix-up.
 
     The fix-up addresses the slab's lanes with one-hot selection matmuls
