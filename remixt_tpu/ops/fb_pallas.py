@@ -503,11 +503,10 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
     Qp = carry_ref.shape[0]
 
     def _fetch_slab(k, slot):
-        for r in range(R):
-            pltpu.make_async_copy(
-                be_exp_ref.at[slot * R + r],
-                be_scratch.at[k % num_slots, r],
-                sems.at[k % num_slots, r]).start()
+        pltpu.make_async_copy(
+            be_exp_ref.at[pl.ds(slot * R, R)],
+            be_scratch.at[k % num_slots],
+            sems.at[k % num_slots]).start()
 
     @pl.when(t == 0)
     def _init():
@@ -567,11 +566,10 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
             @pl.when(lane >= 0)
             def _apply(k=k):
                 slot = sched_slot_ref[k, t]
-                for r in range(R):
-                    pltpu.make_async_copy(
-                        be_exp_ref.at[slot * R + r],
-                        be_scratch.at[k % num_slots, r],
-                        sems.at[k % num_slots, r]).wait()
+                pltpu.make_async_copy(
+                    be_exp_ref.at[pl.ds(slot * R, R)],
+                    be_scratch.at[k % num_slots],
+                    sems.at[k % num_slots]).wait()
                 # gather the slab's R lanes of (pre-update) u and cmax with
                 # a one-hot (R, Qp) selection matmul: exact, since each
                 # output row has exactly one unit coefficient
@@ -672,7 +670,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         scratch_shapes=[
             pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
             pltpu.VMEM((num_slots, R, Sp, Sp), jnp.float32),   # junction slabs
-            pltpu.SemaphoreType.DMA((num_slots, R)),
+            pltpu.SemaphoreType.DMA((num_slots,)),
         ],
     )
 
