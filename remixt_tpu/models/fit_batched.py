@@ -105,20 +105,16 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
                 params_b, _ = em_mod.update_h_fused_batched(
                     spec, params_b, state_b, rngs)
 
-            # one device->host pull for the whole chunk's responsibilities
-            import types
-            marginals = np.asarray(state_b.posterior_marginals)
-            outlier_total = np.asarray(state_b.p_outlier_total)
-            outlier_allele = np.asarray(state_b.p_outlier_allele)
+            # weights computed on device (same jitted graph as the
+            # sequential driver, applied per restart slice, so the host
+            # RNG draws stay bit-identical to it); only the small (P, N)
+            # stacks are pulled
+            import jax
             weights_lists = [
-                [em_mod.param_sample_weights(
+                em_mod.param_sample_weights_all(
                     spec,
-                    types.SimpleNamespace(
-                        posterior_marginals=marginals[i],
-                        p_outlier_total=outlier_total[i],
-                        p_outlier_allele=outlier_allele[i]),
-                    name)
-                 for name in model.likelihood_params]
+                    jax.tree_util.tree_map(lambda x: x[i], state_b),
+                    model.likelihood_params)
                 for i in range(R)]
             params_b, _ = em_mod.update_params_fused_batched(
                 spec, params_b, state_b, tuple(model.likelihood_params),

@@ -28,7 +28,7 @@ def main():
     import jax
     from bench import build_problem
 
-    spec, params, state = build_problem(args.n, args.events)
+    spec, params, state, _ = build_problem(args.n, args.events)
 
     state = spec.sweep(params, state)
     jax.block_until_ready(state)
