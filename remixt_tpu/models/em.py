@@ -232,11 +232,15 @@ def _h_update_batched_fn(spec):
 
 
 def update_h_fused(spec, params, state, rng):
-    """Single-dispatch EM h update."""
+    """Single-dispatch EM h update.
+
+    Returns the accept flag as a device scalar — converting it here
+    would force a host round trip per EM iteration; callers that want
+    to log it pay the sync themselves."""
     idx = jnp.asarray(create_sample_indices(rng, spec.N), dtype=jnp.int32)
     full = jnp.ones(spec.N, dtype=spec.dtype)
     params, accept = _h_update_fn(spec)(params, state, idx, full)
-    return params, bool(accept)
+    return params, accept
 
 
 def _make_params_update(spec, names, bounds):
@@ -304,7 +308,13 @@ def _make_params_update(spec, names, bounds):
             params = params._replace(**{name: new_val})
             running[half] = jnp.where(accept, cand_val, running[half])
             accepts.append(accept)
-        return params, jnp.stack(accepts)
+        # the running halves are exactly the ELBO's two emission
+        # contractions for the final params — assembling the iteration's
+        # ELBO here costs only the state-only terms and saves the fit
+        # loop a separate full-emission ELBO dispatch
+        elbo = eng.calculate_elbo_from_halves(
+            spec, params, state, running['total'], running['allele'])
+        return params, jnp.stack(accepts), elbo
 
     return f
 
@@ -338,9 +348,11 @@ def update_params_fused(spec, params, state, names, bounds, rng,
             rng, spec.N, None if weights_list is None else weights_list[i])
         for i in range(len(names))])
     full = jnp.ones(spec.N, dtype=spec.dtype)
-    params, accepts = _params_update_fn(spec, tuple(names), bounds)(
+    params, accepts, elbo = _params_update_fn(spec, tuple(names), bounds)(
         params, state, jnp.asarray(idxs, dtype=jnp.int32), full)
-    return params, np.asarray(accepts)
+    # accepts/elbo stay on device; pulling them costs a host round trip
+    # per EM iteration, so callers that want them pay the sync
+    return params, accepts, elbo
 
 
 def update_h_fused_batched(spec, params_b, state_b, rngs):
@@ -352,7 +364,8 @@ def update_h_fused_batched(spec, params_b, state_b, rngs):
     full = jnp.ones(spec.N, dtype=spec.dtype)
     params_b, accepts = _h_update_batched_fn(spec)(
         params_b, state_b, idxs, full)
-    return params_b, np.asarray(accepts)
+    # accepts stays on device (see update_h_fused)
+    return params_b, accepts
 
 
 def update_params_fused_batched(spec, params_b, state_b, names, bounds, rngs,
@@ -371,9 +384,11 @@ def update_params_fused_batched(spec, params_b, state_b, names, bounds, rngs,
                        else weights_lists[r][i])
             idxs[r, i] = create_sample_indices(rng, spec.N, weights)
     full = jnp.ones(spec.N, dtype=spec.dtype)
-    params_b, accepts = _params_update_batched_fn(spec, tuple(names), bounds)(
+    params_b, accepts, elbo_b = _params_update_batched_fn(
+        spec, tuple(names), bounds)(
         params_b, state_b, jnp.asarray(idxs), full)
-    return params_b, np.asarray(accepts)
+    # accepts/elbo stay on device (see update_params_fused)
+    return params_b, accepts, elbo_b
 
 
 def _param_weights_all_fn(spec, names):

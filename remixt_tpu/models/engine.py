@@ -827,13 +827,14 @@ def variational_sweeps_restarts(spec, params_b, state_b, num_sweeps):
 # objectives (bpmodel.pyx:1044-1157)
 # ===========================================================================
 
-def calculate_elbo(spec, params, state):
-    """ELBO with the reference's bookkeeping: the entropy contracts pairwise
-    marginals with the transition bank they were computed under; the energy
-    contracts them with the bank implied by the current q(brk). The two
-    differ only at breakend pairs, so the energy term is the entropy term
-    plus a breakend-only correction."""
-    ll_tot, ll_alle = emission_tensors(spec, params)
+def calculate_elbo_from_halves(spec, params, state,
+                               ll_total_half, ll_allele_half):
+    """ELBO given the two emission-likelihood contractions.
+
+    ``ll_total_half``/``ll_allele_half`` are exactly
+    ``expected_log_likelihood_{total,allele}_half`` — callers that
+    already maintain them (the fused M-step accept/reject bookkeeping)
+    get the ELBO for just the cost of the state-only terms."""
     trans_dot_used, trans_dot_cur = xi_transition_dots(spec, state)
 
     entropy = -state.hmm_log_norm_const
@@ -845,17 +846,31 @@ def calculate_elbo(spec, params, state):
     entropy += jnp.sum(plogp(state.p_allele_swap))
 
     energy = jnp.sum(state.posterior_marginals * log_prior_cn(spec, params))
-    energy += jnp.einsum('ns,nu,nsu->', state.posterior_marginals,
-                         state.p_outlier_total, ll_tot)
+    energy += ll_total_half
     energy += jnp.sum(state.p_outlier_total[:, 0]) * jnp.log(1.0 - spec.prior_outlier_total)
     energy += jnp.sum(state.p_outlier_total[:, 1]) * jnp.log(spec.prior_outlier_total)
-    energy += jnp.einsum('ns,nv,nw,nsvw->', state.posterior_marginals,
-                         state.p_outlier_allele, state.p_allele_swap, ll_alle)
+    energy += ll_allele_half
     energy += jnp.sum(state.p_outlier_allele[:, 0]) * jnp.log(1.0 - spec.prior_outlier_allele)
     energy += jnp.sum(state.p_outlier_allele[:, 1]) * jnp.log(spec.prior_outlier_allele)
     energy += trans_dot_cur
 
     return energy - entropy
+
+
+def calculate_elbo(spec, params, state):
+    """ELBO with the reference's bookkeeping: the entropy contracts pairwise
+    marginals with the transition bank they were computed under; the energy
+    contracts them with the bank implied by the current q(brk). The two
+    differ only at breakend pairs, so the energy term is the entropy term
+    plus a breakend-only correction."""
+    ll_tot, ll_alle = emission_tensors(spec, params)
+    ll_total_half = jnp.einsum('ns,nu,nsu->', state.posterior_marginals,
+                               state.p_outlier_total, ll_tot)
+    ll_allele_half = jnp.einsum('ns,nv,nw,nsvw->', state.posterior_marginals,
+                                state.p_outlier_allele, state.p_allele_swap,
+                                ll_alle)
+    return calculate_elbo_from_halves(
+        spec, params, state, ll_total_half, ll_allele_half)
 
 
 def expected_log_likelihood(spec, params, state, sample=None):

@@ -246,8 +246,10 @@ class BreakpointModel:
             'state': jax.tree.map(np.asarray, self.state),
             'rng_state': self._rng.get_state(),
             'em_iter': self._em_iter,
-            'prev_elbo': self.prev_elbo,
-            'prev_elbo_diff': self.prev_elbo_diff,
+            'prev_elbo': (None if self.prev_elbo is None
+                          else float(self.prev_elbo)),
+            'prev_elbo_diff': (None if self.prev_elbo_diff is None
+                               else float(self.prev_elbo_diff)),
             'num_clones': self._spec_num_clones,
         }
         tmp = filename + '.tmp'
@@ -309,6 +311,11 @@ class BreakpointModel:
         if self.prev_elbo is None:
             self.prev_elbo = float(self.spec.elbo(self.params, self.state))
 
+        # inside the loop the ELBO stays a device scalar and per-iteration
+        # diagnostics are gated: every float()/np.asarray() of a device
+        # value is a host round trip through the device relay (~20-30 ms
+        # each; the ungated logging alone cost ~200 ms per EM iteration)
+        verbose = logger.isEnabledFor(logging.INFO)
         while self._em_iter < self.num_em_iter:
             if self.check_elbo:
                 for j in range(self.num_update_iter):
@@ -321,22 +328,29 @@ class BreakpointModel:
             if self.do_h_update:
                 self.em_update_h()
 
-            self.em_update_params()
+            elbo = self.em_update_params()
+            if elbo is None:
+                elbo = self.spec.elbo(self.params, self.state)
 
-            elbo = float(self.spec.elbo(self.params, self.state))
             self.prev_elbo_diff = elbo - self.prev_elbo
             self.prev_elbo = elbo
             self._em_iter += 1
 
-            logger.info('completed iteration %d', self._em_iter - 1)
-            logger.info('    elbo: %.10f', self.prev_elbo)
-            logger.info('    elbo diff: %.10f', self.prev_elbo_diff)
-            logger.info('    h = %s', np.asarray(self.params.h))
-            for name, value in self.get_likelihood_param_values().items():
-                logger.info('    %s = %s', name, value)
+            if verbose:
+                logger.info('completed iteration %d', self._em_iter - 1)
+                logger.info('    elbo: %.10f', float(self.prev_elbo))
+                logger.info('    elbo diff: %.10f', float(self.prev_elbo_diff))
+                logger.info('    h = %s', np.asarray(self.params.h))
+                for name, value in self.get_likelihood_param_values().items():
+                    logger.info('    %s = %s', name, value)
 
             if snapshot_filename is not None:
                 self.save_snapshot(snapshot_filename)
+
+        # one deferred host pull finalizes the loop's device scalars
+        self.prev_elbo = float(self.prev_elbo)
+        self.prev_elbo_diff = (None if self.prev_elbo_diff is None
+                               else float(self.prev_elbo_diff))
 
     def _elbo_guard(self, name, fn, threshold=-1e-6):
         """Optional per-update ELBO decrease check (cn_model.py:430-442)."""
@@ -392,11 +406,16 @@ class BreakpointModel:
         def step():
             self.params, accepted = em_mod.update_h_fused(
                 self.spec, self.params, self.state, self._rng)
-            if not accepted:
+            # pulling the accept flag is a host round trip — only when
+            # someone is listening
+            if logger.isEnabledFor(logging.INFO) and not bool(accepted):
                 logger.info('    h update rejected')
         self._elbo_guard('h', step)
 
     def em_update_params(self):
+        """Returns the post-update ELBO as a device scalar on the fused
+        path (assembled in-graph from the accept/reject bookkeeping),
+        None on the stepwise path."""
         if self.check_elbo:
             # stepwise host path with per-parameter ELBO guards
             for name in self.likelihood_params:
@@ -409,19 +428,22 @@ class BreakpointModel:
                     if not accepted:
                         logger.info('    %s update rejected', name)
                 self._elbo_guard(name, step)
-            return
+            return None
 
         # fused single-dispatch path; weights computed on device in one
         # call (the per-name host path re-pulls the marginals per
         # parameter — ~350 ms per EM iteration through the device relay)
         weights_list = em_mod.param_sample_weights_all(
             self.spec, self.state, self.likelihood_params)
-        self.params, accepts = em_mod.update_params_fused(
+        self.params, accepts, elbo = em_mod.update_params_fused(
             self.spec, self.params, self.state, self.likelihood_params,
             self.likelihood_param_bounds, self._rng, weights_list)
-        for name, accepted in zip(self.likelihood_params, accepts):
-            if not accepted:
-                logger.info('    %s update rejected', name)
+        if logger.isEnabledFor(logging.INFO):
+            for name, accepted in zip(self.likelihood_params,
+                                      np.asarray(accepts)):
+                if not accepted:
+                    logger.info('    %s update rejected', name)
+        return elbo
 
     # -- outputs -------------------------------------------------------------
 

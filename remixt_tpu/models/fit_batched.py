@@ -95,8 +95,10 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
         sweeps_b = _sweeps_batched_fn(spec, model.num_update_iter)
         elbo_b = _elbo_batched_fn(spec)
 
-        prev_elbo = np.asarray(elbo_b(params_b, state_b), dtype=float)
-        elbo_diff = np.zeros(R)
+        # elbo bookkeeping stays on device through the loop (each host
+        # pull is a relay round trip); one conversion at the end
+        prev_elbo = elbo_b(params_b, state_b)
+        elbo_diff = None
 
         for _ in range(model.num_em_iter):
             state_b = sweeps_b(params_b, state_b)
@@ -109,21 +111,23 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
             # sequential driver, applied per restart slice, so the host
             # RNG draws stay bit-identical to it); only the small (P, N)
             # stacks are pulled
-            import jax
             weights_lists = [
                 em_mod.param_sample_weights_all(
                     spec,
                     jax.tree_util.tree_map(lambda x: x[i], state_b),
                     model.likelihood_params)
                 for i in range(R)]
-            params_b, _ = em_mod.update_params_fused_batched(
+            params_b, _, elbo = em_mod.update_params_fused_batched(
                 spec, params_b, state_b, tuple(model.likelihood_params),
                 model.likelihood_param_bounds, rngs,
                 weights_lists=weights_lists)
 
-            elbo = np.asarray(elbo_b(params_b, state_b), dtype=float)
             elbo_diff = elbo - prev_elbo
             prev_elbo = elbo
+
+        prev_elbo = np.asarray(prev_elbo, dtype=float)
+        elbo_diff = (np.zeros(R) if elbo_diff is None
+                     else np.asarray(elbo_diff, dtype=float))
 
         for i in range(R):
             results.append({
