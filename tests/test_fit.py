@@ -204,3 +204,29 @@ def test_h_update_paths_agree(sim_data):
         ell_before, ell_lbfgs, ell_fused)
     np.testing.assert_allclose(
         np.asarray(params_fused.h), np.asarray(params_lbfgs.h), rtol=0.05)
+
+
+def test_param_sample_weights_all_matches_per_name(sim_data):
+    """The one-call device weight stack must reproduce the per-name host
+    computation (cn_model.py:309-352 semantics): the M-step subsample
+    draws consume these through the host RNG, so any drift changes the
+    fit trajectory."""
+    from remixt_tpu.models import em as em_mod
+
+    data = sim_data
+    model = make_model(data)
+    model.num_em_iter = 1
+    model.num_update_iter = 2
+    model.fit(data['h'])
+
+    spec, state = model.spec, model.state
+    names = model.likelihood_params
+    stacked = em_mod.param_sample_weights_all(spec, state, names)
+    assert len(stacked) == len(names)
+    for name, got in zip(names, stacked):
+        want = em_mod.param_sample_weights(spec, state, name)
+        if want is None:
+            assert got is None, name
+        else:
+            np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-300,
+                                       err_msg=name)
