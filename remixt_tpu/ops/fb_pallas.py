@@ -20,6 +20,7 @@ stream through scalar-prefetch SMEM.
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -27,9 +28,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from remixt_tpu.ops.special import MM_PRECISION
+
 NEG = -1e30
 TINY = 1e-37
 CLS_CHANNELS = 128
+
+# Grouped-kernel tuning knobs (read once at import; ablation probes flip
+# these via env before picking new defaults — see BENCH_DETAIL.json).
+#   fix-up batched matvec: VPU multiply-reduce (1) vs R serial MXU dots (0)
+GROUPED_FIXUP_VPU = os.environ.get('REMIXT_TPU_FIXUP_VPU', '0') == '1'
+#   junction-slab double-buffer depth (VMEM: slots * R * Sp^2 floats)
+GROUPED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_GROUPED_SLOTS', '2'))
 
 
 def _round_up(x, m):
@@ -130,10 +140,10 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
             mat = static_exp_ref[c, :, :]
             if reverse:
                 s = jnp.dot(u, mat.T, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=MM_PRECISION)
             else:
                 s = jnp.dot(u, mat, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=MM_PRECISION)
             val = jnp.log(jnp.maximum(s, TINY)) + cmax
             lane_is_c = cls_ref[0, :, c:c + 1] > 0.5
             result = jnp.where(lane_is_c, val, result)
@@ -164,11 +174,11 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
                 if reverse:
                     s = jnp.dot(u_lane, be_scratch[k % num_slots, :, :].T,
                                 preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=MM_PRECISION)
                 else:
                     s = jnp.dot(u_lane, be_scratch[k % num_slots, :, :],
                                 preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=MM_PRECISION)
                 val = jnp.log(jnp.maximum(s, TINY)) + cmax_lane
                 if reverse:
                     fixed = jnp.broadcast_to(val, carry_ref.shape)
@@ -486,7 +496,8 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
 def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                        frame_ref, cls_ref, static_exp_ref, be_exp_ref,
                        out_ref, carry_ref, be_scratch, sems,
-                       *, kmax, num_static, reverse, num_slots, R):
+                       *, kmax, num_static, reverse, num_slots, R,
+                       fixup_vpu):
     """Grouped restart-tiled kernel step: per junction, one fetch of the
     (R, Sp, Sp) matrix slab and one R-lane fix-up.
 
@@ -494,11 +505,11 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
     and masked full-plane writes only — no dynamic sublane slicing, which
     Mosaic miscompiles/faults at production lane counts (Qp > 256).
 
-    Junction slabs are fetched as R separate per-restart (Sp, Sp) copies,
-    not one 3D (R, Sp, Sp) slab copy: the large slab DMAs from a
-    multi-GB junction bank fault on hardware (measured at J=600,
-    Sp=384), while the per-matrix copy pattern is exactly what the
-    restart-tiled kernel runs in production."""
+    Each junction's (R, Sp, Sp) slab is fetched with ONE dynamic-slice
+    DMA from the junction-major bank (rows [slot*R, (slot+1)*R)) into a
+    double-buffered scratch slot; the fix-up then runs either R serial
+    1-row MXU dots or one batched VPU multiply-reduce over the resident
+    slab (``fixup_vpu``)."""
     t = pl.program_id(0)
     Qp = carry_ref.shape[0]
 
@@ -542,10 +553,10 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
             mat = static_exp_ref[c, :, :]
             if reverse:
                 s = jnp.dot(u, mat.T, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=MM_PRECISION)
             else:
                 s = jnp.dot(u, mat, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=MM_PRECISION)
             val = jnp.log(jnp.maximum(s, TINY)) + cmax
             lane_is_c = cls_ref[0, :, c:c + 1] > 0.5
             result = jnp.where(lane_is_c, val, result)
@@ -577,29 +588,39 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                 col_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 1)
                 sel = (col_iota == lane + slab_iota).astype(jnp.float32)
                 u_slab = jnp.dot(sel, u, preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=MM_PRECISION)
                 cmax_slab = jnp.dot(sel, cmax,
                                     preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
-                rows = []
-                for r in range(R):
-                    mat = be_scratch[k % num_slots, r, :, :]
+                                    precision=MM_PRECISION)
+                if fixup_vpu:
+                    # batched matvec as a VPU multiply-reduce over the
+                    # resident slab: one op instead of R serial 1-row MXU
+                    # dots (each of which pays full pipeline latency)
+                    slab = be_scratch[k % num_slots, :, :, :]   # (R, Sp, Sp)
                     if reverse:
-                        s_r = jnp.dot(u_slab[r:r + 1, :], mat.T,
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
+                        s = jnp.sum(u_slab[:, None, :] * slab, axis=2)
                     else:
-                        s_r = jnp.dot(u_slab[r:r + 1, :], mat,
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
-                    rows.append(s_r)
-                s = jnp.concatenate(rows, axis=0)
+                        s = jnp.sum(u_slab[:, :, None] * slab, axis=1)
+                else:
+                    rows = []
+                    for r in range(R):
+                        mat = be_scratch[k % num_slots, r, :, :]
+                        if reverse:
+                            s_r = jnp.dot(u_slab[r:r + 1, :], mat.T,
+                                          preferred_element_type=jnp.float32,
+                                          precision=MM_PRECISION)
+                        else:
+                            s_r = jnp.dot(u_slab[r:r + 1, :], mat,
+                                          preferred_element_type=jnp.float32,
+                                          precision=MM_PRECISION)
+                        rows.append(s_r)
+                    s = jnp.concatenate(rows, axis=0)
                 val = jnp.log(jnp.maximum(s, TINY)) + cmax_slab
                 # scatter back to the full plane (selᵀ) and overwrite the
                 # slab's R lanes; other lanes keep their value
                 full = jnp.dot(sel.T, val,
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=MM_PRECISION)
                 if not reverse:
                     full = full + frame_ref[0, :, :]
                 mask = (row_iota >= lane) & (row_iota < lane + R)
@@ -621,7 +642,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
     L, Qp, Sp = frame_tm.shape
     kmax = plan['kmax']
     R = plan['num_restarts']
-    num_slots = min(kmax, 2)
+    num_slots = min(kmax, GROUPED_NUM_SLOTS)
     num_static = static_exp.shape[0]
 
     sched_lane = plan['sched_lane']
@@ -636,7 +657,8 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
 
     kernel = functools.partial(
         _fb_kernel_grouped, kmax=kmax, num_static=num_static,
-        reverse=reverse, num_slots=num_slots, R=R)
+        reverse=reverse, num_slots=num_slots, R=R,
+        fixup_vpu=GROUPED_FIXUP_VPU)
 
     # Both directions stream the SAME forward-time frame array; the
     # reverse recursion reads frame step L-t (the shifted reversed

@@ -16,7 +16,7 @@ Reference recursions: sum_product (bpmodel.pyx:1213-1246), max_product
 import jax
 import jax.numpy as jnp
 
-from remixt_tpu.ops.special import logsumexp
+from remixt_tpu.ops.special import MM_PRECISION, logsumexp
 
 
 def forward_backward(framelogprob, bank, bank_idx):
@@ -117,7 +117,7 @@ def forward_backward_chains(framelogprob, bank, chain_bank_idx, chain_seg_map,
         u = jnp.exp(alpha - amax)
         s = jnp.einsum('qi,qij->qj', u, P,
                        preferred_element_type=alpha.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=MM_PRECISION)
         alpha_next = jnp.log(s) + amax + f_next
         if chain_constraint is not None:
             alpha_next = chain_constraint(alpha_next, 0)
@@ -135,7 +135,7 @@ def forward_backward_chains(framelogprob, bank, chain_bank_idx, chain_seg_map,
         w = jnp.exp(fb - bmax)
         s = jnp.einsum('qij,qj->qi', P, w,
                        preferred_element_type=beta.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=MM_PRECISION)
         beta_prev = jnp.log(s) + bmax
         if chain_constraint is not None:
             beta_prev = chain_constraint(beta_prev, 0)
@@ -333,10 +333,10 @@ def forward_backward_chains_restarts(frame_b, static_bank, be_bank_b, plan,
         P = exp_static[idx_row]                       # (Q, S, S)
         if reverse:
             s = jnp.einsum('rqj,qij->rqi', u, P,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=MM_PRECISION)
         else:
             s = jnp.einsum('rqi,qij->rqj', u, P,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=MM_PRECISION)
         for k in range(kmax):
             lane = lanes[k]
             safe = jnp.maximum(lane, 0)
@@ -344,10 +344,10 @@ def forward_backward_chains_restarts(frame_b, static_bank, be_bank_b, plan,
             M = exp_be[:, slots[k]]                   # (R, S, S)
             if reverse:
                 v = jnp.einsum('rij,rj->ri', M, u_lane,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=MM_PRECISION)
             else:
                 v = jnp.einsum('ri,rij->rj', u_lane, M,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=MM_PRECISION)
             s = jnp.where(lane >= 0, s.at[:, safe, :].set(v), s)
         return s
 

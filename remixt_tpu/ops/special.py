@@ -10,8 +10,38 @@ bpmodel.pyx:238-394): negative binomial over total read counts, beta-binomial
 over allelic read counts.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _mm_precision():
+    """Matmul precision for the semiring scans (TPU f32 inputs only).
+
+    TPU MXU multiplies are bf16 passes with f32 accumulate; f32 operands
+    are split into bf16 limbs. HIGHEST uses the full limb product set
+    (slowest, ~f32-exact), HIGH drops the low×low-order passes (about 2x
+    the MXU throughput at ~1e-7 relative error — far below the engine's
+    own f32 noise floor and the 1e-4 kernel-parity gate), DEFAULT is one
+    bf16 pass (~4e-3 relative — too coarse for the posterior targets).
+    CPU/GPU backends ignore the flag. Override with
+    ``REMIXT_TPU_MM_PRECISION={default,high,highest}``.
+
+    Default is HIGHEST — the setting every checked-in accuracy number
+    (ACCURACY.json, benchmark/ACCURACY_BENCH.json) was measured under.
+    Flip to ``high`` only together with a re-run of the TPU accuracy
+    benchmark and the sweep ablation.
+    """
+    name = os.environ.get('REMIXT_TPU_MM_PRECISION', 'highest').lower()
+    return {
+        'default': jax.lax.Precision.DEFAULT,
+        'high': jax.lax.Precision.HIGH,
+        'highest': jax.lax.Precision.HIGHEST,
+    }[name]
+
+
+MM_PRECISION = _mm_precision()
 
 
 def logsumexp(x, axis=-1, keepdims=False):

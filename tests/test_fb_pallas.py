@@ -197,10 +197,16 @@ def test_restart_tiled_kernel_matches_batched_scan():
         np.asarray(ln), np.asarray(ln_ref), rtol=1e-5)
 
 
-def test_grouped_restart_kernel_matches_batched_scan():
+@pytest.mark.parametrize('fixup_vpu,slots', [(False, 2), (True, 2), (True, 1)])
+def test_grouped_restart_kernel_matches_batched_scan(
+        monkeypatch, fixup_vpu, slots):
     """The grouped restart-tiled kernel (chain-major lanes, one DMA per
     junction delivering all restarts' matrices) vs the restart-batched
-    scan, interpret mode."""
+    scan, interpret mode — both junction fix-up variants (R serial MXU
+    dots vs one batched VPU multiply-reduce) and both double-buffer
+    depths."""
+    monkeypatch.setattr(fb_pallas, 'GROUPED_FIXUP_VPU', fixup_vpu)
+    monkeypatch.setattr(fb_pallas, 'GROUPED_NUM_SLOTS', slots)
     problem = build_problem(10, [14, 9, 5], S=6, be_frac=0.4)
     R = 3
     rng = np.random.RandomState(2)
