@@ -269,7 +269,7 @@ def _make_params_update(spec, names, bounds):
         'allele': eng.expected_log_likelihood_allele_half,
     }
 
-    def f(params, state, sample_idxs, full):
+    def f(params, state, sample_idxs):
         running = {
             half: half_fns[half](spec, params, state)
             for half in ('total', 'allele')}
@@ -330,13 +330,12 @@ def _params_update_fn(spec, names, bounds):
 
 def _params_update_batched_fn(spec, names, bounds):
     """Jitted restart-batched likelihood-parameter update:
-    params/state/samples batched, the full-data indicator shared."""
+    params/state/samples batched per restart."""
     cache = spec._jit_cache
     key = ('params_update_b', names)
     if key not in cache:
         cache[key] = jax.jit(jax.vmap(
-            _make_params_update(spec, names, bounds),
-            in_axes=(0, 0, 0, None)))
+            _make_params_update(spec, names, bounds)))
     return cache[key]
 
 
@@ -347,9 +346,8 @@ def update_params_fused(spec, params, state, names, bounds, rng,
         create_sample_indices(
             rng, spec.N, None if weights_list is None else weights_list[i])
         for i in range(len(names))])
-    full = jnp.ones(spec.N, dtype=spec.dtype)
     params, accepts, elbo = _params_update_fn(spec, tuple(names), bounds)(
-        params, state, jnp.asarray(idxs, dtype=jnp.int32), full)
+        params, state, jnp.asarray(idxs, dtype=jnp.int32))
     # accepts/elbo stay on device; pulling them costs a host round trip
     # per EM iteration, so callers that want them pay the sync
     return params, accepts, elbo
@@ -383,10 +381,9 @@ def update_params_fused_batched(spec, params_b, state_b, names, bounds, rngs,
             weights = (None if weights_lists is None
                        else weights_lists[r][i])
             idxs[r, i] = create_sample_indices(rng, spec.N, weights)
-    full = jnp.ones(spec.N, dtype=spec.dtype)
     params_b, accepts, elbo_b = _params_update_batched_fn(
         spec, tuple(names), bounds)(
-        params_b, state_b, jnp.asarray(idxs), full)
+        params_b, state_b, jnp.asarray(idxs))
     # accepts/elbo stay on device (see update_params_fused)
     return params_b, accepts, elbo_b
 
@@ -436,11 +433,39 @@ def param_sample_weights_all(spec, state, names):
     """
     w = np.asarray(_param_weights_all_fn(spec, tuple(names))(state),
                    dtype=np.float64)
+    return _normalize_weight_rows(w)
+
+
+def _normalize_weight_rows(w):
     out = []
     for row in w:
         norm = row.sum()
         out.append(row / norm if norm > 0.0 else None)
     return out
+
+
+def _param_weights_all_batched_fn(spec, names):
+    cache = spec._jit_cache
+    key = ('param_weights_all_b', names)
+    if key not in cache:
+        cache[key] = jax.jit(jax.vmap(_param_weights_all_fn(spec, names)))
+    return cache[key]
+
+
+def param_sample_weights_all_batched(spec, state_b, names):
+    """Restart-batched param_sample_weights_all: one device dispatch and
+    one (R, P, N) host pull for the whole chunk instead of R sequential
+    dispatch+pull round trips (~20-30 ms each through the device relay).
+
+    The per-restart math is elementwise with a last-axis reduction, so
+    the vmapped rows are bit-identical to per-slice calls and the host
+    RNG subsample draws stay bit-identical to the sequential driver.
+
+    Returns a list of R weight lists (one per restart).
+    """
+    w_b = np.asarray(_param_weights_all_batched_fn(spec, tuple(names))(
+        state_b), dtype=np.float64)
+    return [_normalize_weight_rows(w) for w in w_b]
 
 
 def param_sample_weights(spec, state, name):

@@ -107,16 +107,12 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
                 params_b, _ = em_mod.update_h_fused_batched(
                     spec, params_b, state_b, rngs)
 
-            # weights computed on device (same jitted graph as the
-            # sequential driver, applied per restart slice, so the host
-            # RNG draws stay bit-identical to it); only the small (P, N)
-            # stacks are pulled
-            weights_lists = [
-                em_mod.param_sample_weights_all(
-                    spec,
-                    jax.tree_util.tree_map(lambda x: x[i], state_b),
-                    model.likelihood_params)
-                for i in range(R)]
+            # weights computed on device for the whole chunk in ONE
+            # dispatch and one (R, P, N) pull (bit-identical rows to the
+            # sequential driver's per-restart calls, so the host RNG
+            # draws match it exactly)
+            weights_lists = em_mod.param_sample_weights_all_batched(
+                spec, state_b, model.likelihood_params)
             params_b, _, elbo = em_mod.update_params_fused_batched(
                 spec, params_b, state_b, tuple(model.likelihood_params),
                 model.likelihood_param_bounds, rngs,

@@ -40,6 +40,12 @@ CLS_CHANNELS = 128
 GROUPED_FIXUP_VPU = os.environ.get('REMIXT_TPU_FIXUP_VPU', '0') == '1'
 #   junction-slab double-buffer depth (VMEM: slots * R * Sp^2 floats)
 GROUPED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_GROUPED_SLOTS', '2'))
+#   per-matrix breakend scratch depth in the restart-tiled/single kernels
+TILED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_TILED_SLOTS', '8'))
+for _name, _val in (('REMIXT_TPU_GROUPED_SLOTS', GROUPED_NUM_SLOTS),
+                    ('REMIXT_TPU_TILED_SLOTS', TILED_NUM_SLOTS)):
+    if _val < 1:
+        raise ValueError('%s must be >= 1, got %d' % (_name, _val))
 
 
 def _round_up(x, m):
@@ -207,7 +213,7 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
     L, Qp, Sp = frame_tm.shape
     kmax = plan['kmax']
     # scoped VMEM caps the fix-up scratch; DMAs double-buffer in waves
-    num_slots = min(kmax, 8)
+    num_slots = min(kmax, TILED_NUM_SLOTS)
     num_static = static_exp.shape[0]
 
     sched_lane = plan['sched_lane']
@@ -587,11 +593,15 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                 slab_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 0)
                 col_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 1)
                 sel = (col_iota == lane + slab_iota).astype(jnp.float32)
+                # the selection/scatter dots implement lane ADDRESSING
+                # (one unit coefficient per output row) — they must stay
+                # exact regardless of the semiring MM_PRECISION ablation,
+                # so pin them to HIGHEST
                 u_slab = jnp.dot(sel, u, preferred_element_type=jnp.float32,
-                                 precision=MM_PRECISION)
+                                 precision=jax.lax.Precision.HIGHEST)
                 cmax_slab = jnp.dot(sel, cmax,
                                     preferred_element_type=jnp.float32,
-                                    precision=MM_PRECISION)
+                                    precision=jax.lax.Precision.HIGHEST)
                 if fixup_vpu:
                     # batched matvec as a VPU multiply-reduce over the
                     # resident slab: one op instead of R serial 1-row MXU
@@ -620,7 +630,7 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                 # slab's R lanes; other lanes keep their value
                 full = jnp.dot(sel.T, val,
                                preferred_element_type=jnp.float32,
-                               precision=MM_PRECISION)
+                               precision=jax.lax.Precision.HIGHEST)
                 if not reverse:
                     full = full + frame_ref[0, :, :]
                 mask = (row_iota >= lane) & (row_iota < lane + R)

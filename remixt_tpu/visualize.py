@@ -251,10 +251,15 @@ function renderStats() {{
 const SCAT = {{ xmin: -0.5, xmax: 6.5, ymin: -0.5, ymax: 4.5 }};
 
 function scatterScales(canvas) {{
+  // clamp into the axes box: high-amplification segments (copy number
+  // up to max_copy_number=12) pin to the box edge instead of rendering
+  // over the heading / off-canvas; hover and box-select share these
+  // scales so they hit the same clamped coordinates
+  const cl = (v, lo, hi) => Math.min(Math.max(v, lo), hi);
   const sx = x => PAD + (canvas.width - 2 * PAD)
-      * (x - SCAT.xmin) / (SCAT.xmax - SCAT.xmin);
+      * (cl(x, SCAT.xmin, SCAT.xmax) - SCAT.xmin) / (SCAT.xmax - SCAT.xmin);
   const sy = y => canvas.height - PAD - (canvas.height - 2 * PAD)
-      * (y - SCAT.ymin) / (SCAT.ymax - SCAT.ymin);
+      * (cl(y, SCAT.ymin, SCAT.ymax) - SCAT.ymin) / (SCAT.ymax - SCAT.ymin);
   return [sx, sy];
 }}
 

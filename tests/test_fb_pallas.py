@@ -134,6 +134,17 @@ def test_same_step_breakends_across_lanes():
     assert_parity(problem)
 
 
+def test_slot_reuse_wave_kmax_above_buffer(monkeypatch):
+    """Columns with more same-step breakends than scratch slots exercise
+    the double-buffer wave logic (slot reuse ``k % num_slots`` + the
+    ``k + num_slots < kmax`` prefetch) that production kmax > 8 hits but
+    the default-slot tests never reach."""
+    monkeypatch.setattr(fb_pallas, 'TILED_NUM_SLOTS', 2)
+    problem = build_problem(3, [8, 8, 8, 8], be_frac=0.9)
+    assert problem['plan']['kmax'] > 2
+    assert_parity(problem)
+
+
 def test_many_chains_pad_tiles():
     """More chains than one 8-row sublane tile plus pad lanes."""
     problem = build_problem(4, [5, 3, 7, 2, 6, 4, 8, 1, 5, 2], be_frac=0.3)
