@@ -6,6 +6,7 @@ with the ELBO-monotonicity guard enabled throughout.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -230,3 +231,16 @@ def test_param_sample_weights_all_matches_per_name(sim_data):
         else:
             np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-300,
                                        err_msg=name)
+
+    # the restart-batched stack must be BIT-identical per row to the
+    # per-slice calls: the host RNG consumes these weights, so any
+    # reassociation would silently fork batched from sequential fits
+    state_b = jax.tree.map(lambda x: jnp.stack([x, x]), state)
+    batched = em_mod.param_sample_weights_all_batched(spec, state_b, names)
+    assert len(batched) == 2
+    for rows in batched:
+        for name, got, want in zip(names, rows, stacked):
+            if want is None:
+                assert got is None, name
+            else:
+                np.testing.assert_array_equal(got, want, err_msg=name)
