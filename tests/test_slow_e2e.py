@@ -3,8 +3,10 @@
 The fast-tier e2e tests (test_pipeline.py, test_fit.py) use tiny EM budgets
 and correspondingly lenient thresholds; this tier runs the production
 budget (5 EM x 5 VI, the reference defaults.py:154-157) over the full
-restart machinery at reduced N and holds the pipeline to reference-level
-accuracy: >= 90% length-weighted dominant-clone copy-number recovery.
+restart machinery at reduced N and gates length-weighted dominant-clone
+copy-number recovery at the pinned seed's measured level (see the inline
+seed-spread data; easy seeds reach 0.97-0.98, the full-scale benchmark
+~0.95).
 
 Run with: python -m pytest tests/ -m slow  (about 10-20 min on CPU)
 """
@@ -91,9 +93,14 @@ def test_full_budget_recovery():
 
     cn_eval = evaluation['cn_evaluation']
     # this seeded N=500 regime (denser rearrangement than the full-scale
-    # benchmark, which reaches 95% dominant at N=5000 —
+    # benchmark, which reaches ~95% dominant at N=5000 —
     # benchmark/ACCURACY_BENCH.json) measures 0.8615 dominant-clone
-    # recovery; the threshold guards against regression from that level
+    # recovery. Measured seed spread of THIS code at this regime:
+    # {1234: 0.8615, 99: 0.9757, 2718: 0.9821, 31415: 0.8505} — seed
+    # 1234 is simply a hard draw, and its 0.8615 is stable across code
+    # versions (re-measured identical on the pre-M-step-refactor tree,
+    # commit 02a2116), so the threshold guards the measured level of the
+    # pinned seed rather than an aspirational average.
     assert cn_eval['proportion_dom_cn_correct'] >= 0.85, dict(cn_eval)
     assert cn_eval['proportion_cn_correct'] >= 0.70, dict(cn_eval)
     # mixture fraction recovery within 0.05 absolute per clone
