@@ -335,9 +335,10 @@ def main():
     result = {
         'metric': 'e_step_segments_per_s_per_chip',
         'value': headline,
-        'unit': ('segments/s (best of fused single-restart and R=12 '
-                 'restart-batched VI sweep, N~6029 S=355 M=3 K=300, '
+        'unit': ('segments/s (best of fused single-restart and R={R} '
+                 'restart-batched VI sweep, N~{N} S=355 M=3 K={K}, '
                  '23 chains, f32; baseline = same engine 1 CPU core; see '
+                 .format(R=NUM_RESTARTS, N=spec.N, K=TPU_EVENTS) +
                  'BENCH_DETAIL.json for per-path, full-fit, pallas-parity '
                  'and f64-oracle-baseline numbers)'),
         'vs_baseline': round(headline / cpu_segs, 2),
