@@ -264,6 +264,37 @@ def oracle_baseline_segs_per_s():
     return oracle.num_segments / dt
 
 
+def wait_for_backend(max_attempts=2, probe_timeout=1800, retry_sleep=120):
+    """Wait out transient TPU-relay outages before claiming the chip.
+
+    The relay queues a claim for up to ~25 min and then either grants it or
+    errors with "UNAVAILABLE: TPU backend setup/compile error".  A failed
+    init is cached by jax for the life of the process, so probe in a
+    SUBPROCESS (a clean exit releases its claim immediately) and only let
+    the main process touch jax once a probe has succeeded.  Returns True if
+    the backend answered, False if every attempt failed (the caller then
+    proceeds and surfaces the real error).
+    """
+    if os.environ.get('JAX_PLATFORMS', '').lower() in ('cpu',):
+        return True
+    probe = 'import jax; jax.devices(); print("BACKEND_OK")'
+    for attempt in range(1, max_attempts + 1):
+        log('backend probe (attempt {}/{})...'.format(attempt, max_attempts))
+        try:
+            proc = subprocess.run([sys.executable, '-c', probe],
+                                  capture_output=True, text=True,
+                                  timeout=probe_timeout)
+        except subprocess.TimeoutExpired:
+            log('backend probe timed out after {}s'.format(probe_timeout))
+            continue
+        if 'BACKEND_OK' in proc.stdout:
+            return True
+        log('backend probe failed: {}'.format(proc.stderr.strip()[-300:]))
+        if attempt < max_attempts:
+            time.sleep(retry_sleep)
+    return False
+
+
 def main():
     if '--cpu-baseline' in sys.argv:
         spec, params, state, _ = build_problem(
@@ -279,6 +310,9 @@ def main():
 
     detail = {'N': TPU_N, 'S': 355, 'M': 3, 'K': TPU_EVENTS,
               'num_restarts': NUM_RESTARTS}
+
+    if not wait_for_backend():
+        log('backend never answered; proceeding (errors will surface below)')
 
     log('building problem...')
     model, data = build_model(TPU_N, TPU_EVENTS)
