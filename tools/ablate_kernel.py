@@ -50,22 +50,32 @@ GRID = [
 ]
 
 
-def run_config(precision, fixup, slots, timeout_s):
+def run_config(precision, fixup, slots, timeout_s, attempts=2):
     env = dict(os.environ)
     env['REMIXT_TPU_MM_PRECISION'] = precision
     env['REMIXT_TPU_FIXUP_VPU'] = fixup
     env['REMIXT_TPU_GROUPED_SLOTS'] = slots
-    try:
-        proc = subprocess.run(
-            [sys.executable, '-c', PROBE % {'repo': REPO}],
-            env=env, capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return {'error': 'timeout after %ds' % timeout_s}
-    for line in proc.stdout.splitlines():
-        if line.startswith('RESULT '):
-            return json.loads(line[len('RESULT '):])
-    return {'error': 'rc=%d: %s' % (proc.returncode,
-                                    proc.stderr.strip()[-500:])}
+    result = {'error': 'no attempts'}
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, '-c', PROBE % {'repo': REPO}],
+                env=env, capture_output=True, text=True, timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            # the killed probe holds the chip claim for ~10 min; don't
+            # retry into that window
+            return {'error': 'timeout after %ds' % timeout_s}
+        for line in proc.stdout.splitlines():
+            if line.startswith('RESULT '):
+                return json.loads(line[len('RESULT '):])
+        result = {'error': 'rc=%d: %s' % (proc.returncode,
+                                          proc.stderr.strip()[-500:])}
+        # transient relay outages (UNAVAILABLE) deserve one more try;
+        # real failures (OOM, Mosaic errors) do not
+        if 'UNAVAILABLE' not in result['error']:
+            return result
+        print('  transient relay error; retrying config', flush=True)
+    return result
 
 
 def main():
