@@ -222,8 +222,13 @@ def infer_haps_grch38_shapeit4(haps_filename, snp_genotype_filename, chromosome,
     chr_name_prefix = remixt_tpu.config.get_param(config, 'chr_name_prefix')
     if chr_name_prefix == '':
         grch38_1kg_chromosome = 'chr' + chromosome
-    else:
+    elif chr_name_prefix == 'chr':
         grch38_1kg_chromosome = chromosome
+    else:
+        # a typo'd prefix would otherwise silently phase against the wrong
+        # 1kg region (reference haplotype.py:365-371 raises likewise)
+        raise ValueError(
+            'unrecognized chr_name_prefix {!r}'.format(chr_name_prefix))
 
     if str(grch38_1kg_chromosome) not in remixt_tpu.config.get_param(
             config, 'grch38_1kg_chromosomes'):

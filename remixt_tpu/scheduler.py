@@ -104,35 +104,25 @@ class Workflow:
 
     def subworkflow(self, name, workflow):
         """Merge another workflow's tasks under a name prefix."""
+        # rewrite Ret references to the merged workflow's own tasks into the
+        # prefixed namespace; Rets referring to outside tasks stay untouched
+        local_names = {t.name for t in workflow.tasks}
+
+        def reprefix_local(obj):
+            if isinstance(obj, Ret) and obj.task_name in local_names:
+                return Ret(name + '/' + obj.task_name, attr=obj.attr, key=obj.key)
+            if isinstance(obj, list):
+                return [reprefix_local(o) for o in obj]
+            if isinstance(obj, tuple):
+                return tuple(reprefix_local(o) for o in obj)
+            if isinstance(obj, dict):
+                return {k: reprefix_local(v) for k, v in obj.items()}
+            return obj
+
         for task in workflow.tasks:
             prefixed = Task(
                 name + '/' + task.name, task.func, task.args, task.kwargs,
                 task.inputs, task.outputs)
-            # rewrite Ret references into the prefixed namespace
-            def reprefix(obj):
-                if isinstance(obj, Ret):
-                    r = Ret(name + '/' + obj.task_name, attr=obj.attr, key=obj.key)
-                    return r
-                if isinstance(obj, list):
-                    return [reprefix(o) for o in obj]
-                if isinstance(obj, tuple):
-                    return tuple(reprefix(o) for o in obj)
-                if isinstance(obj, dict):
-                    return {k: reprefix(v) for k, v in obj.items()}
-                return obj
-            local_names = {t.name for t in workflow.tasks}
-
-            def reprefix_local(obj):
-                if isinstance(obj, Ret) and obj.task_name in local_names:
-                    return Ret(name + '/' + obj.task_name, attr=obj.attr, key=obj.key)
-                if isinstance(obj, list):
-                    return [reprefix_local(o) for o in obj]
-                if isinstance(obj, tuple):
-                    return tuple(reprefix_local(o) for o in obj)
-                if isinstance(obj, dict):
-                    return {k: reprefix_local(v) for k, v in obj.items()}
-                return obj
-
             prefixed.args = reprefix_local(list(task.args))
             prefixed.kwargs = reprefix_local(dict(task.kwargs))
             self.tasks.append(prefixed)
@@ -156,6 +146,10 @@ class Workflow:
         for inp in task.inputs:
             if os.path.exists(inp) and os.path.getmtime(inp) > sentinel_time:
                 return False
+        # the return pickle is part of the task's completed state: without
+        # it a resumed run would feed None into downstream task arguments
+        if not os.path.exists(self._ret_filename(workdir, task.name)):
+            return False
         return True
 
     def run(self, workdir, max_jobs=1, resume=True):
@@ -188,11 +182,15 @@ class Workflow:
         def load_ret(name):
             if name not in ret_values:
                 ret_filename = self._ret_filename(workdir, name)
-                if os.path.exists(ret_filename):
-                    with open(ret_filename, 'rb') as f:
-                        ret_values[name] = pickle.load(f)
-                else:
-                    ret_values[name] = None
+                if not os.path.exists(ret_filename):
+                    # _is_complete requires the ret pickle, so a completed
+                    # task always has one; fail fast instead of silently
+                    # passing None downstream
+                    raise RuntimeError(
+                        'missing return file for completed task {}: {}'
+                        .format(name, ret_filename))
+                with open(ret_filename, 'rb') as f:
+                    ret_values[name] = pickle.load(f)
             return ret_values[name]
 
         # mark previously completed tasks

@@ -158,9 +158,13 @@ def merge_overlapping_seqdata(outfile, infiles, chromosomes):
                     alleles['fragment_id'] += index_offsets[chromosome]
                     fragments['fragment_id'] += index_offsets[chromosome]
 
-                    index_offsets[chromosome] = max(
-                        alleles['fragment_id'].max(),
-                        fragments['fragment_id'].max()) + 1
+                    # .max() of an empty table is NaN, which would poison
+                    # every subsequent offset (silent id corruption); an
+                    # empty table simply contributes no new ids
+                    id_maxes = [int(t['fragment_id'].max())
+                                for t in (alleles, fragments) if len(t) > 0]
+                    if id_maxes:
+                        index_offsets[chromosome] = max(id_maxes) + 1
 
                     _append_table(out_store, allele_key, alleles, ALLELE_COLUMNS)
                     _append_table(out_store, fragment_key, fragments, FRAGMENT_COLUMNS)

@@ -72,13 +72,21 @@ def run(analysis_dir, filterhd_bin, clonehd_bin, seed=123):
     def path(name):
         return os.path.join(analysis_dir, name)
 
+    # four filterHD passes (reference wrapclonehd.py:207-244): plain normal
+    # and tumour CNA fits, a bias-corrected tumour CNA fit (against the
+    # normal posterior) that yields the jump track cloneHD consumes, and
+    # the reflected tumour BAF fit
     subprocess.check_call([
         filterhd_bin, '--data', path('normal.cna.txt'), '--mode', '3',
         '--pre', path('normal.cna'), '--rnd', '0'])
     subprocess.check_call([
         filterhd_bin, '--data', path('tumour.cna.txt'), '--mode', '3',
-        '--pre', path('tumour.cna'), '--sigma', '0', '--jumps', '1',
-        '--rnd', '0'])
+        '--pre', path('tumour.cna'), '--rnd', '0'])
+    subprocess.check_call([
+        filterhd_bin, '--data', path('tumour.cna.txt'), '--mode', '3',
+        '--pre', path('tumour.cna.bias'),
+        '--bias', path('normal.cna.posterior-1.txt'),
+        '--sigma', '0', '--jumps', '1', '--rnd', '0'])
     subprocess.check_call([
         filterhd_bin, '--data', path('tumour.baf.txt'), '--mode', '1',
         '--pre', path('tumour.baf'), '--sigma', '0', '--jumps', '1',
@@ -113,14 +121,19 @@ def parse_summary(summary_filename):
     return info
 
 
-def _argmax_calls(posterior_filename, bin_size):
-    """Posterior table -> per-segment integer call (argmax column)."""
+def _argmax_calls(posterior_filename, bin_size=None):
+    """Posterior table -> per-segment integer call (argmax column).
+
+    ``bin_size`` shifts segment starts one bin left — CNA loci are bin
+    endpoints, so CNA tables need it; BAF loci are SNP positions and must
+    NOT be shifted (reference wrapclonehd.py:305 shifts cna_data only).
+    """
     data = pd.read_csv(posterior_filename, sep=r'\s+')
     data = data.rename(columns={
         '#chr': 'chromosome', 'first-locus': 'start', 'last-locus': 'end'})
     data = data.drop(columns=['nloci'])
-    # loci are bin endpoints; align starts to bin starts
-    data['start'] = data['start'] - bin_size
+    if bin_size is not None:
+        data['start'] = data['start'] - bin_size
     index_cols = ['chromosome', 'start', 'end']
     calls = (data.set_index(index_cols).fillna(0.)
              .idxmax(axis=1).astype(int))
@@ -132,7 +145,7 @@ def clone_cn_table(cna_filename, baf_filename, clone_id, bin_size=1000):
     on the overlap segmentation."""
     total = _argmax_calls(cna_filename, bin_size).rename(
         columns={'call': 'total'})
-    allele = _argmax_calls(baf_filename, bin_size).rename(
+    allele = _argmax_calls(baf_filename).rename(
         columns={'call': 'allele'})
 
     overlap = remixt_tpu.segalg.reindex_segments(total, allele)

@@ -47,6 +47,82 @@ def _write_results_store(results_filename, cn_filename, mix_filename):
             columns=['prediction_id', 'cn_1', 'cn_2'])
 
 
+# ---------------------------------------------------------------------------
+# Stage functions live at module level: the scheduler's spawn-based process
+# pool pickles task functions, and local closures cannot be pickled, so a
+# multi-job run (max_jobs > 1) would crash at submit time with closures.
+
+def _titan_prepare(workdir, normal, tumour, chromosome_lengths):
+    from remixt_tpu.wrappers import wraptitan
+    wraptitan.prepare_inputs(workdir, normal, tumour, chromosome_lengths)
+
+
+def _titan_run_all(workdir, run_script, restarts, done_filename):
+    from remixt_tpu.wrappers import wraptitan
+    for idx, (clusters, ploidy, frac_normal) in enumerate(restarts):
+        wraptitan.run(workdir, run_script, clusters, ploidy, frac_normal,
+                      'restart_{}'.format(idx))
+    open(done_filename, 'w').close()
+
+
+def _titan_report(workdir, restarts, results_filename):
+    from remixt_tpu.wrappers import wraptitan
+    restart_dirs = {idx: os.path.join(workdir, 'restart_{}'.format(idx))
+                    for idx in range(len(restarts))}
+    clusters = {idx: r[0] for idx, r in enumerate(restarts)}
+    cn_tsv = os.path.join(workdir, 'cn.tsv')
+    mix_tsv = os.path.join(workdir, 'mix.tsv')
+    wraptitan.report(restart_dirs, cn_tsv, mix_tsv, clusters)
+    _write_results_store(results_filename, cn_tsv, mix_tsv)
+
+
+def _theta_prepare(workdir, normal, tumour, segments_filename,
+                   chrom_names_filename):
+    from remixt_tpu.wrappers import wraptheta
+    segments = pd.read_csv(segments_filename, sep='\t',
+                           converters={'chromosome': str})
+    paths = wraptheta.prepare_inputs(workdir, normal, tumour, segments)
+    pd.Series(paths['chrom_idx']).rename('idx').rename_axis(
+        'chromosome').reset_index().to_csv(
+            chrom_names_filename, sep='\t', index=False)
+
+
+def _theta_run(workdir, theta_bin, octave_bin_directory, done_filename):
+    from remixt_tpu.wrappers import wraptheta
+    wraptheta.run(workdir, theta_bin, octave_bin_directory)
+    open(done_filename, 'w').close()
+
+
+def _theta_report(workdir, chrom_names_filename, results_filename):
+    from remixt_tpu.wrappers import wraptheta
+    mapping = pd.read_csv(chrom_names_filename, sep='\t',
+                          converters={'chromosome': str})
+    chrom_names = dict(zip(mapping['idx'], mapping['chromosome']))
+    cn_tsv = os.path.join(workdir, 'cn.tsv')
+    mix_tsv = os.path.join(workdir, 'mix.tsv')
+    wraptheta.report(workdir, cn_tsv, mix_tsv, chrom_names)
+    _write_results_store(results_filename, cn_tsv, mix_tsv)
+
+
+def _clonehd_prepare(workdir, normal, tumour, chromosome_lengths):
+    from remixt_tpu.wrappers import wrapclonehd
+    wrapclonehd.prepare_inputs(workdir, normal, tumour, chromosome_lengths)
+
+
+def _clonehd_run(workdir, filterhd_bin, clonehd_bin, done_filename):
+    from remixt_tpu.wrappers import wrapclonehd
+    wrapclonehd.run(workdir, filterhd_bin, clonehd_bin)
+    open(done_filename, 'w').close()
+
+
+def _clonehd_report(workdir, results_filename):
+    from remixt_tpu.wrappers import wrapclonehd
+    cn_tsv = os.path.join(workdir, 'cn.tsv')
+    mix_tsv = os.path.join(workdir, 'mix.tsv')
+    wrapclonehd.report(workdir, cn_tsv, mix_tsv)
+    _write_results_store(results_filename, cn_tsv, mix_tsv)
+
+
 class ExternalTool(object):
     name = None
     required_binaries = ()
@@ -100,36 +176,23 @@ class TitanTool(ExternalTool):
 
     def _add_stages(self, workflow, normal, tumour, results_filename,
                     workdir):
-        from remixt_tpu.wrappers import wraptitan
-
-        def prepare():
-            wraptitan.prepare_inputs(
-                workdir, normal, tumour, self.chromosome_lengths())
-
-        def run_all():
-            for idx, (clusters, ploidy, frac_normal) in enumerate(
-                    self.restarts):
-                wraptitan.run(
-                    workdir, self.tool_config['run_script'],
-                    clusters, ploidy, frac_normal, 'restart_{}'.format(idx))
-
-        def report():
-            restart_dirs = {
-                idx: os.path.join(workdir, 'restart_{}'.format(idx))
-                for idx in range(len(self.restarts))}
-            clusters = {idx: r[0] for idx, r in enumerate(self.restarts)}
-            cn_tsv = os.path.join(workdir, 'cn.tsv')
-            mix_tsv = os.path.join(workdir, 'mix.tsv')
-            wraptitan.report(restart_dirs, cn_tsv, mix_tsv, clusters)
-            _write_results_store(results_filename, cn_tsv, mix_tsv)
-
         alleles = os.path.join(workdir, 'alleles.tsv')
+        normal_wig = os.path.join(workdir, 'normal.wig')
+        tumour_wig = os.path.join(workdir, 'tumour.wig')
         done = os.path.join(workdir, 'run.done')
-        workflow.transform('prepare', prepare, outputs=[alleles])
-        workflow.transform('run', lambda: (run_all(), open(done, 'w').close()),
-                           inputs=[alleles], outputs=[done])
-        workflow.transform('report', report, inputs=[done],
-                           outputs=[results_filename])
+        workflow.transform(
+            'prepare', _titan_prepare,
+            args=(workdir, normal, tumour, self.chromosome_lengths()),
+            outputs=[alleles, normal_wig, tumour_wig])
+        workflow.transform(
+            'run', _titan_run_all,
+            args=(workdir, self.tool_config['run_script'],
+                  self.restarts, done),
+            inputs=[alleles, normal_wig, tumour_wig], outputs=[done])
+        workflow.transform(
+            'report', _titan_report,
+            args=(workdir, self.restarts, results_filename),
+            inputs=[done], outputs=[results_filename])
 
 
 class ThetaTool(ExternalTool):
@@ -138,41 +201,28 @@ class ThetaTool(ExternalTool):
 
     def _add_stages(self, workflow, normal, tumour, results_filename,
                     workdir):
-        from remixt_tpu.wrappers import wraptheta
-
         segments_filename = self.tool_config.get('segments_filename')
         counts = os.path.join(workdir, 'counts.tsv')
+        normal_alleles = os.path.join(workdir, 'normal_alleles.tsv')
+        tumour_alleles = os.path.join(workdir, 'tumour_alleles.tsv')
         done = os.path.join(workdir, 'run.done')
         chrom_names_file = os.path.join(workdir, 'chrom_names.tsv')
 
-        def prepare():
-            segments = pd.read_csv(segments_filename, sep='\t',
-                                   converters={'chromosome': str})
-            paths = wraptheta.prepare_inputs(
-                workdir, normal, tumour, segments)
-            pd.Series(paths['chrom_idx']).rename('idx').rename_axis(
-                'chromosome').reset_index().to_csv(
-                    chrom_names_file, sep='\t', index=False)
-
-        def run():
-            wraptheta.run(workdir, self.tool_config['bin'],
-                          self.tool_config['octave_bin_directory'])
-            open(done, 'w').close()
-
-        def report():
-            mapping = pd.read_csv(chrom_names_file, sep='\t',
-                                  converters={'chromosome': str})
-            chrom_names = dict(zip(mapping['idx'], mapping['chromosome']))
-            cn_tsv = os.path.join(workdir, 'cn.tsv')
-            mix_tsv = os.path.join(workdir, 'mix.tsv')
-            wraptheta.report(workdir, cn_tsv, mix_tsv, chrom_names)
-            _write_results_store(results_filename, cn_tsv, mix_tsv)
-
-        workflow.transform('prepare', prepare,
-                           outputs=[counts, chrom_names_file])
-        workflow.transform('run', run, inputs=[counts], outputs=[done])
-        workflow.transform('report', report, inputs=[done],
-                           outputs=[results_filename])
+        workflow.transform(
+            'prepare', _theta_prepare,
+            args=(workdir, normal, tumour, segments_filename,
+                  chrom_names_file),
+            outputs=[counts, normal_alleles, tumour_alleles,
+                     chrom_names_file])
+        workflow.transform(
+            'run', _theta_run,
+            args=(workdir, self.tool_config['bin'],
+                  self.tool_config['octave_bin_directory'], done),
+            inputs=[counts, normal_alleles, tumour_alleles], outputs=[done])
+        workflow.transform(
+            'report', _theta_report,
+            args=(workdir, chrom_names_file, results_filename),
+            inputs=[done, chrom_names_file], outputs=[results_filename])
 
 
 class CloneHDTool(ExternalTool):
@@ -181,29 +231,22 @@ class CloneHDTool(ExternalTool):
 
     def _add_stages(self, workflow, normal, tumour, results_filename,
                     workdir):
-        from remixt_tpu.wrappers import wrapclonehd
-
+        normal_cna = os.path.join(workdir, 'normal.cna.txt')
+        tumour_cna = os.path.join(workdir, 'tumour.cna.txt')
         baf = os.path.join(workdir, 'tumour.baf.txt')
         done = os.path.join(workdir, 'run.done')
 
-        def prepare():
-            wrapclonehd.prepare_inputs(
-                workdir, normal, tumour, self.chromosome_lengths())
-
-        def run():
-            wrapclonehd.run(
-                workdir,
-                self.tool_config.get('filterhd_bin', 'filterHD'),
-                self.tool_config.get('clonehd_bin', 'cloneHD'))
-            open(done, 'w').close()
-
-        def report():
-            cn_tsv = os.path.join(workdir, 'cn.tsv')
-            mix_tsv = os.path.join(workdir, 'mix.tsv')
-            wrapclonehd.report(workdir, cn_tsv, mix_tsv)
-            _write_results_store(results_filename, cn_tsv, mix_tsv)
-
-        workflow.transform('prepare', prepare, outputs=[baf])
-        workflow.transform('run', run, inputs=[baf], outputs=[done])
-        workflow.transform('report', report, inputs=[done],
-                           outputs=[results_filename])
+        workflow.transform(
+            'prepare', _clonehd_prepare,
+            args=(workdir, normal, tumour, self.chromosome_lengths()),
+            outputs=[normal_cna, tumour_cna, baf])
+        workflow.transform(
+            'run', _clonehd_run,
+            args=(workdir,
+                  self.tool_config.get('filterhd_bin', 'filterHD'),
+                  self.tool_config.get('clonehd_bin', 'cloneHD'), done),
+            inputs=[normal_cna, tumour_cna, baf], outputs=[done])
+        workflow.transform(
+            'report', _clonehd_report,
+            args=(workdir, results_filename),
+            inputs=[done], outputs=[results_filename])

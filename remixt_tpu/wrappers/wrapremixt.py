@@ -16,7 +16,13 @@ class ReMixTTool(object):
                         results_filename, workdir, normal_id=None):
         os.makedirs(workdir, exist_ok=True)
         tumour_ids = [k for k in seqdata_filenames if k != normal_id]
-        results_filenames = {tid: results_filename for tid in tumour_ids}
+        # the wrapper protocol hands us ONE results file; mapping several
+        # tumours onto it would make the fits overwrite each other
+        if len(tumour_ids) != 1:
+            raise ValueError(
+                'remixt wrapper supports exactly one tumour sample per '
+                'results file; got {}'.format(sorted(tumour_ids)))
+        results_filenames = {tumour_ids[0]: results_filename}
         return remixt_tpu.workflow.create_remixt_seqdata_workflow(
             breakpoints_filename,
             seqdata_filenames,

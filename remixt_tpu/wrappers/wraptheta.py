@@ -8,7 +8,8 @@ THetA input formats:
   * an interval-count table, headerless TSV:
     segment_id, chrom_idx, start, end, tumour_count, normal_count,
     upper_bound, lower_bound;
-  * allele-count tables (chrom_idx, position, ref_count, alt_count).
+  * allele-count tables (chrom_idx, position, A, C, T, G, total,
+    ref_count, alt_count — nucleotide columns zero-filled).
 THetA output: a ``*.BAF.NLL.results`` TSV whose best row (minimum
 NLL + BAF_NLL) carries the mixture ``mu`` (comma-separated) and per-clone
 interval copy numbers ``C`` (colon-separated intervals of
@@ -59,11 +60,18 @@ def write_interval_counts(filename, segments, normal_seqdata, tumour_seqdata,
 
 
 def write_alleles(filename, het_counts, chrom_idx):
+    """THetA2's runBAFGaussianModel indexes columns positionally and expects
+    chrom_idx, position, per-nucleotide A/C/T/G counts (unused, written as
+    zeros), total, ref_count, alt_count (reference wraptheta.py:69-86)."""
+    ref = het_counts['ref_count'].astype(int)
+    alt = het_counts['alt_count'].astype(int)
     table = pd.DataFrame({
         'chrom_idx': het_counts['chromosome'].map(chrom_idx),
         'position': het_counts['position'],
-        'ref_count': het_counts['ref_count'].astype(int),
-        'alt_count': het_counts['alt_count'].astype(int),
+        'A': 0, 'C': 0, 'T': 0, 'G': 0,
+        'total': ref + alt,
+        'ref_count': ref,
+        'alt_count': alt,
     })
     table.to_csv(filename, sep='\t', index=False, header=False)
 

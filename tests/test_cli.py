@@ -172,6 +172,33 @@ def test_scheduler_ret_values(tmp_path):
     assert open(out).read() == '42'
 
 
+def test_scheduler_missing_ret_reruns(tmp_path):
+    """A surviving sentinel whose return pickle is gone must not resume as
+    completed — that would feed None into downstream task arguments."""
+    out = str(tmp_path / 'out.txt')
+
+    def produce():
+        return {'x': 41}
+
+    def consume(filename, value):
+        _write_file(filename, str(value + 1))
+
+    def build():
+        wf = Workflow('retloss')
+        ret = wf.transform('produce', produce)
+        wf.transform('consume', consume, args=(out, ret['x']), outputs=[out])
+        return wf
+
+    workdir = str(tmp_path / 'work')
+    build().run(workdir)
+    assert open(out).read() == '42'
+
+    os.remove(os.path.join(workdir, '.ret_produce.pickle'))
+    os.remove(out)
+    build().run(workdir)
+    assert open(out).read() == '42'
+
+
 def test_scheduler_parallel(tmp_path):
     outs = [str(tmp_path / f'f{i}.txt') for i in range(4)]
     wf = Workflow('par')

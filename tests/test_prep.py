@@ -89,6 +89,35 @@ def test_seqdata_merge(seqdata_file, tmp_path):
     assert allele_data['fragment_id'].max() > alleles['fragment_id'].max()
 
 
+def test_seqdata_merge_empty_allele_table(tmp_path):
+    """A chromosome group with fragments but zero allele rows must not
+    poison the fragment-id offsets of later files (NaN from empty .max())."""
+    def build(filename, n):
+        writer = seqdataio.Writer(str(filename))
+        fragments = pd.DataFrame({
+            'fragment_id': np.arange(n),
+            'start': np.arange(n) * 10,
+            'end': np.arange(n) * 10 + 5,
+        })
+        alleles = pd.DataFrame(
+            columns=['fragment_id', 'position', 'is_alt']).astype(int)
+        writer.write('1', fragments, alleles)
+        writer.close()
+        return str(filename)
+
+    a = build(tmp_path / 'a.h5', 50)
+    b = build(tmp_path / 'b.h5', 30)
+    merged = str(tmp_path / 'empty_allele_merged.h5')
+    seqdataio.merge_overlapping_seqdata(merged, {'a': a, 'b': b}, ['1'])
+
+    reads = seqdataio.read_fragment_data(merged, '1', filter_duplicates=None,
+                                         map_qual_threshold=None)
+    assert len(reads.index) == 80
+    ids = reads['fragment_id'].values
+    assert ids.min() >= 0                      # no NaN -> int64 garbage
+    assert len(np.unique(ids)) == 80           # ids stay unique
+
+
 def test_segment_counting(seqdata_file):
     path, fragments, _ = seqdata_file
     segments = pd.DataFrame({
@@ -143,6 +172,16 @@ def test_calculate_haplotypes():
         + [sample([0, 0, 0, 0, 0]) for _ in range(5)]
     haps = haplotype_mod.calculate_haplotypes(iter(samples), changepoint_threshold=0.95)
     assert haps['hap_label'].nunique() == 2
+
+
+def test_infer_haps_rejects_bad_chr_prefix(tmp_path):
+    """A typo'd chr_name_prefix must raise, not silently phase against the
+    wrong 1kg region (reference haplotype.py:365-371)."""
+    with pytest.raises(ValueError, match='chr_name_prefix'):
+        haplotype_mod.infer_haps_grch38_shapeit4(
+            str(tmp_path / 'haps.tsv'), str(tmp_path / 'genotype.tsv'),
+            '1', str(tmp_path / 'tmp'), {'chr_name_prefix': 'Chr'},
+            str(tmp_path))
 
 
 def test_infer_snp_genotype():

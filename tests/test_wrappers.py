@@ -150,6 +150,77 @@ def test_theta_inputs_and_conversion(tiny_seqdata, tmp_path):
     assert list(cn['chromosome']) == ['1', '1', '2']
 
 
+def test_theta_allele_file_has_nine_columns(tiny_seqdata, tmp_path):
+    """THetA2's octave BAF model indexes columns positionally:
+    chrom_idx, position, A, C, T, G, total, ref, alt."""
+    segments = pd.DataFrame({
+        'chromosome': ['1', '2'], 'start': [0, 0], 'end': [20000, 10000]})
+    paths = wraptheta.prepare_inputs(
+        str(tmp_path / 'theta'), tiny_seqdata['normal'],
+        tiny_seqdata['tumour'], segments)
+    table = pd.read_csv(paths['tumour_alleles'], sep='\t', header=None)
+    assert table.shape[1] == 9
+    # nucleotide columns zero-filled; total == ref + alt
+    assert (table[[2, 3, 4, 5]] == 0).all().all()
+    np.testing.assert_array_equal(
+        table[6].values, (table[7] + table[8]).values)
+
+
+def test_clonehd_baf_loci_not_shifted(tmp_path):
+    """CNA loci are bin endpoints (shift one bin left); BAF loci are SNP
+    positions (no shift — reference wrapclonehd.py:305 shifts cna only)."""
+    cols = ['#chr', 'first-locus', 'last-locus', 'nloci', '0', '1']
+    table = pd.DataFrame(
+        [['1', 1000, 10000, 10, 0.2, 0.8]], columns=cols)
+    path = str(tmp_path / 'posterior.txt')
+    table.to_csv(path, sep=' ', index=False)
+
+    shifted = wrapclonehd._argmax_calls(path, bin_size=1000)
+    assert shifted.loc[0, 'start'] == 0
+    unshifted = wrapclonehd._argmax_calls(path)
+    assert unshifted.loc[0, 'start'] == 1000
+    assert unshifted.loc[0, 'call'] == 1
+
+
+def test_external_workflow_tasks_are_picklable(tmp_path, monkeypatch):
+    """The scheduler's spawn pool pickles task functions; every stage of
+    every external-tool workflow must survive pickling (max_jobs > 1)."""
+    import pickle
+
+    from remixt_tpu.wrappers import wrapexternal
+
+    # chromosome_lengths() needs a genome FAI on disk; the value itself is
+    # a plain dict and irrelevant to picklability
+    monkeypatch.setattr(wrapexternal.ExternalTool, 'chromosome_lengths',
+                        lambda self: {'1': 20000, '2': 10000})
+    config = {
+        'titan': {'run_script': 'titan_run.R'},
+        'theta': {'bin': 'RunTHetA', 'octave_bin_directory': '/opt/theta',
+                  'segments_filename': str(tmp_path / 'segments.tsv')},
+        'clonehd': {},
+    }
+    for tool_cls in (wrapexternal.TitanTool, wrapexternal.ThetaTool,
+                     wrapexternal.CloneHDTool):
+        tool = tool_cls(config, str(tmp_path))
+        wf = wrapexternal.Workflow('{}_pickle'.format(tool.name))
+        # bypass check_available: binaries are absent in the test image
+        tool._add_stages(wf, 'normal.h5', 'tumour.h5',
+                         str(tmp_path / 'results.h5'), str(tmp_path / 'wd'))
+        for task in wf.tasks:
+            pickle.dumps((task.func, task.args, task.kwargs))
+
+
+def test_remixt_wrapper_rejects_multiple_tumours(tmp_path):
+    from remixt_tpu.wrappers import wrapremixt
+
+    tool = wrapremixt.ReMixTTool({}, str(tmp_path))
+    with pytest.raises(ValueError, match='exactly one tumour'):
+        tool.create_workflow(
+            {'n': 'n.h5', 't1': 't1.h5', 't2': 't2.h5'},
+            'breakpoints.tsv', str(tmp_path / 'results.h5'),
+            str(tmp_path / 'wd'), normal_id='n')
+
+
 def test_clonehd_conversion(tmp_path):
     d = tmp_path / 'clonehd'
     os.makedirs(d)
