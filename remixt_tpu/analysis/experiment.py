@@ -22,11 +22,7 @@ import pickle
 import numpy as np
 import pandas as pd
 
-_POS_BITS = 42  # genomic positions < 2^42 ~ 4.4e12
-
-
-def _composite_keys(bucket, position):
-    return (bucket.astype(np.int64) << _POS_BITS) + position.astype(np.int64)
+from remixt_tpu.segalg import composite_keys as _composite_keys
 
 
 def match_breakends_to_extremities(segment_data, breakpoint_data):

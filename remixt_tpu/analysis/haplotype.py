@@ -134,33 +134,21 @@ def infer_snp_genotype_from_tumour(snp_genotype_filename, seqdata_filenames,
 
 
 def read_bcf_phased_genotypes(bcf_filename):
-    """Phased alleles from a shapeit4 BCF (haplotype.py:179-213).
-
-    Uses pysam when present, otherwise parses ``bcftools view`` output.
-    """
+    """Phased alleles from a shapeit4 BCF (haplotype.py:179-213), parsed
+    from ``bcftools view`` output (pysam/htslib are not dependencies)."""
     phased_genotypes = []
 
-    try:
-        import pysam
-        records = (
-            (r.chrom, r.pos, r.ref, alt, r.samples[0]['GT'])
-            for r in pysam.VariantFile(bcf_filename, 'r')
-            for alt in r.alts)
-        for chromosome, position, ref, alt, (allele1, allele2) in records:
+    out = subprocess.run(
+        ['bcftools', 'view', '-H', bcf_filename],
+        capture_output=True, text=True, check=True)
+    for line in out.stdout.splitlines():
+        fields = line.split('\t')
+        chromosome, position, _, ref, alts = fields[0], int(fields[1]), fields[2], fields[3], fields[4]
+        gt = fields[9].split(':')[0].replace('/', '|')
+        allele1, allele2 = (int(a) for a in gt.split('|'))
+        for alt in alts.split(','):
             phased_genotypes.append(
                 [chromosome, position, ref, alt, allele1, allele2])
-    except ImportError:
-        out = subprocess.run(
-            ['bcftools', 'view', '-H', bcf_filename],
-            capture_output=True, text=True, check=True)
-        for line in out.stdout.splitlines():
-            fields = line.split('\t')
-            chromosome, position, _, ref, alts = fields[0], int(fields[1]), fields[2], fields[3], fields[4]
-            gt = fields[9].split(':')[0].replace('/', '|')
-            allele1, allele2 = (int(a) for a in gt.split('|'))
-            for alt in alts.split(','):
-                phased_genotypes.append(
-                    [chromosome, position, ref, alt, allele1, allele2])
 
     return pd.DataFrame(
         phased_genotypes,

@@ -131,8 +131,11 @@ def create_segments(segment_filename, config, ref_data_dir,
         in_gap[on_chrom] = owner >= 0
     segments = segments[~in_gap]
 
-    # order by the configured chromosome list, then position
+    # keep only configured chromosomes (gap tables and breakpoint files may
+    # carry chrY/chrM/unplaced contigs — the reference's inner merge drops
+    # them), ordered by the configured list then position
     chrom_rank = {c: i for i, c in enumerate(chromosomes)}
+    segments = segments[segments['chromosome'].isin(chrom_rank)]
     segments = segments.assign(
         _rank=segments['chromosome'].map(chrom_rank)).sort_values(
             ['_rank', 'start'], kind='stable')

@@ -16,7 +16,17 @@ aggregation uses grouped reductions instead of per-group Python apply.
 import numpy as np
 import pandas as pd
 
-_POS_BITS = 42
+_POS_BITS = 42  # genomic positions < 2^42 ~ 4.4e12
+
+
+def composite_keys(codes, positions):
+    """One sortable int64 key per (chromosome code, position) pair.
+
+    Shared by the reindexer below and analysis/experiment's breakend
+    matcher so the bit layout cannot drift between them.
+    """
+    return (np.asarray(codes).astype(np.int64) << _POS_BITS) \
+        + np.asarray(positions).astype(np.int64)
 
 
 def is_contained(a, b):
@@ -152,25 +162,22 @@ def reindex_segments(cn_1, cn_2):
     codes_1 = codes[:len(cn_1.index)].astype(np.int64)
     codes_2 = codes[len(cn_1.index):].astype(np.int64)
 
-    def keyed(codes_arr, positions):
-        return (codes_arr << _POS_BITS) + positions.astype(np.int64)
-
     # refined boundaries: every start/end of either table, per chromosome
     bounds = np.unique(np.concatenate([
-        keyed(codes_1, cn_1['start'].values),
-        keyed(codes_1, cn_1['end'].values),
-        keyed(codes_2, cn_2['start'].values),
-        keyed(codes_2, cn_2['end'].values),
+        composite_keys(codes_1, cn_1['start'].values),
+        composite_keys(codes_1, cn_1['end'].values),
+        composite_keys(codes_2, cn_2['start'].values),
+        composite_keys(codes_2, cn_2['end'].values),
     ]))
     lo, hi = bounds[:-1], bounds[1:]
     same_chrom = (lo >> _POS_BITS) == (hi >> _POS_BITS)
     lo, hi = lo[same_chrom], hi[same_chrom]
 
     # cover lookup: a refined piece [lo, hi) is covered by a table row when
-    # one row's keyed [start, end) contains it
+    # one row's composite-keyed [start, end) contains it
     def cover(codes_arr, table):
-        start_keys = keyed(codes_arr, table['start'].values)
-        end_keys = keyed(codes_arr, table['end'].values)
+        start_keys = composite_keys(codes_arr, table['start'].values)
+        end_keys = composite_keys(codes_arr, table['end'].values)
         order = np.argsort(start_keys, kind='stable')
         pos = np.searchsorted(start_keys[order], lo, side='right') - 1
         safe = np.maximum(pos, 0)

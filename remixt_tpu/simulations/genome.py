@@ -662,6 +662,10 @@ class GenomeCollection(object):
         return self.genomes[0].segment_end
 
     def length_divergent(self):
+        # divergence between the two tumour clones; a monoclonal collection
+        # (wild type + one descendant) has no clone pair to diverge
+        if len(self.genomes) < 3:
+            return 0.0
         return self.genomes[1].length_divergent(self.genomes[2])
 
     def length_loh(self):
@@ -796,7 +800,11 @@ def _breakpoint_table(detected_breakpoints, collection):
     rows = []
     for prediction_id, bp in detected_breakpoints.items():
         row = {'prediction_id': prediction_id}
-        for k, (seg, side) in enumerate(bp, start=1):
+        # a fold-back junction collapses to a single breakend; write it as
+        # both sides so the _2 columns are never NaN (downstream readers
+        # parse position_2 as int)
+        breakends = sorted(bp) * 2 if len(bp) == 1 else bp
+        for k, (seg, side) in enumerate(breakends, start=1):
             row['n_{}'.format(k)] = seg
             row['side_{}'.format(k)] = side
             row['chromosome_{}'.format(k)] = collection.segment_chromosome_id[seg]

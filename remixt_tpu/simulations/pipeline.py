@@ -16,6 +16,7 @@ a length-weighted reduction over that aligned frame.
 """
 
 import collections
+import hashlib
 import itertools
 import pickle
 
@@ -86,8 +87,12 @@ def read_sim_defs(sim_defs_filename):
             sim = dict(defaults)
             sim.update(expanded)
             sim['name'] = base_name
-            content_hash = str(abs(hash(frozenset(
-                (k, str(v)) for k, v in sim.items()))))
+            # a stable digest: Python's built-in hash() is salted per
+            # process, which would re-key every output directory on rerun
+            content = '\0'.join(sorted(
+                '{}={}'.format(k, v) for k, v in sim.items()))
+            content_hash = hashlib.sha1(
+                content.encode('utf-8')).hexdigest()[:16]
             sim['sim_hash'] = content_hash
             sim['sim_id'] = '{}_{}'.format(base_name, content_hash)
             if sim['sim_id'] in instances:
@@ -207,8 +212,14 @@ def simulate_germline_alleles(germline_alleles_filename, params, config,
                 chromosome, config, ref_data_dir)
             group = store.create_group('chromosome_{}'.format(chromosome))
             for col in table.columns:
+                # pandas string columns (ArrowStringArray / object) have no
+                # native HDF5 dtype; encode as fixed-width bytes (decoded
+                # on load)
+                values = np.asarray(table[col].values)
+                if values.dtype.kind in ('O', 'U'):
+                    values = values.astype('S')
                 group.create_dataset(
-                    col, data=table[col].values,
+                    col, data=values,
                     compression='gzip', compression_opts=4)
 
 
@@ -217,7 +228,13 @@ def load_germline_alleles(germline_alleles_filename, chromosome):
     import h5py
     with h5py.File(germline_alleles_filename, 'r') as store:
         group = store['chromosome_{}'.format(chromosome)]
-        return pd.DataFrame({col: group[col][()] for col in group})
+        data = {}
+        for col in group:
+            values = group[col][()]
+            if values.dtype.kind == 'S':
+                values = values.astype(str)
+            data[col] = values
+        return pd.DataFrame(data)
 
 
 class _GermlineAllelesAccessor(object):

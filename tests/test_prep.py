@@ -89,6 +89,34 @@ def test_seqdata_merge(seqdata_file, tmp_path):
     assert allele_data['fragment_id'].max() > alleles['fragment_id'].max()
 
 
+def test_create_segments_drops_unconfigured_chromosomes(tmp_path):
+    """Gap tables carry chrY/chrM/unplaced contigs; their inter-gap
+    segments must not leak into the segmentation (the reference's inner
+    merge drops them)."""
+    import gzip
+
+    fai = tmp_path / 'genome.fa.fai'
+    fai.write_text('1\t30000\t0\t60\t61\n2\t20000\t0\t60\t61\n'
+                   'Y\t10000\t0\t60\t61\n')
+    gap = tmp_path / 'gaps.txt.gz'
+    with gzip.open(gap, 'wt') as f:
+        # bin chrom start end ix n size type bridge
+        f.write('0\t1\t5000\t6000\t0\tN\t1000\ttelomere\tno\n')
+        f.write('0\tY\t2000\t3000\t0\tN\t1000\ttelomere\tno\n')
+    config = {
+        'chromosomes': ['1', '2'],
+        'segment_length': 10000,
+        'chr_name_prefix': '',
+        'gap_table_filename': str(gap),
+        'genome_fai_filename': str(fai),
+    }
+    out = tmp_path / 'segments.tsv'
+    segment_mod.create_segments(str(out), config, str(tmp_path))
+    seg = pd.read_csv(out, sep='\t', converters={'chromosome': str})
+    assert set(seg['chromosome']) == {'1', '2'}
+    assert (seg['start'] < seg['end']).all()
+
+
 def test_seqdata_merge_empty_allele_table(tmp_path):
     """A chromosome group with fragments but zero allele rows must not
     poison the fragment-id offsets of later files (NaN from empty .max())."""

@@ -87,6 +87,68 @@ def test_breakpoint_copy_number_consistency():
         assert bp not in genome.wt_adj
 
 
+def test_length_divergent_monoclonal():
+    """A wild type + single descendant collection has no clone pair; the
+    divergence metric must be 0, not an IndexError."""
+    genome = make_genome(num_events=3, seed=21)
+    collection = sim_genome.GenomeCollection([make_genome(num_events=0,
+                                                          seed=21), genome])
+    assert collection.length_divergent() == 0.0
+
+
+def test_breakpoint_table_foldback_single_breakend():
+    """A fold-back junction (size-1 breakend set) must still fill the _2
+    columns — downstream readers parse position_2 as int."""
+    genome = make_genome(num_events=0, seed=31)
+    collection = sim_genome.GenomeCollection([genome])
+    table = sim_genome._breakpoint_table(
+        {7: frozenset([(3, 1)])}, collection)
+    row = table.iloc[0]
+    assert row['n_2'] == 3 and row['side_2'] == 1
+    assert row['position_2'] == row['position_1']
+    assert not table.isna().any().any()
+
+
+def test_sim_id_is_stable_digest(tmp_path):
+    """sim ids must be content-addressed with a stable digest (built-in
+    hash() is salted per process and would re-key outputs every run)."""
+    defs = tmp_path / 'defs.py'
+    defs.write_text(
+        "defaults = {'a': 1}\n"
+        "base_settings = {'b': [1, 2]}\n")
+    ids1 = sorted(sim_pipeline.read_sim_defs(str(defs)))
+    ids2 = sorted(sim_pipeline.read_sim_defs(str(defs)))
+    assert ids1 == ids2 and len(ids1) == 2
+    import hashlib
+    content = '\0'.join(sorted(['a=1', 'b=1', 'name=base']))
+    expected = hashlib.sha1(content.encode()).hexdigest()[:16]
+    assert 'base_{}'.format(expected) in ids1
+
+
+def test_germline_alleles_string_roundtrip(tmp_path, monkeypatch):
+    """String columns (ref/alt/nt_*) must survive the h5py store, which has
+    no native object-dtype support."""
+    import remixt_tpu.simulations.haplotype as sim_hap
+
+    table = pd.DataFrame({
+        'position': [100, 200, 300],
+        'allele1': [0, 1, 0],
+        'allele2': [1, 0, 1],
+        'ref': ['A', 'CT', 'G'],
+        'alt': ['T', 'C', 'GA'],
+    })
+    monkeypatch.setattr(sim_hap, 'create_sim_alleles',
+                        lambda chromosome, config, ref_data_dir: table)
+    path = str(tmp_path / 'germline.h5')
+    sim_pipeline.simulate_germline_alleles(
+        path, {'random_seed': 1, 'chromosomes': ['1']}, {}, None)
+    loaded = sim_pipeline.load_germline_alleles(path, '1')
+    assert list(loaded['ref']) == ['A', 'CT', 'G']
+    assert list(loaded['alt']) == ['T', 'C', 'GA']
+    np.testing.assert_array_equal(loaded['position'].values,
+                                  table['position'].values)
+
+
 @pytest.fixture(scope='module')
 def sampled_experiment():
     np.random.seed(11)
