@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from remixt_tpu.ops.special import MM_PRECISION
+from remixt_tpu.ops.special import MM_PRECISION_PALLAS
 
 NEG = -1e30
 TINY = 1e-37
@@ -146,10 +146,10 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
             mat = static_exp_ref[c, :, :]
             if reverse:
                 s = jnp.dot(u, mat.T, preferred_element_type=jnp.float32,
-                            precision=MM_PRECISION)
+                            precision=MM_PRECISION_PALLAS)
             else:
                 s = jnp.dot(u, mat, preferred_element_type=jnp.float32,
-                            precision=MM_PRECISION)
+                            precision=MM_PRECISION_PALLAS)
             val = jnp.log(jnp.maximum(s, TINY)) + cmax
             lane_is_c = cls_ref[0, :, c:c + 1] > 0.5
             result = jnp.where(lane_is_c, val, result)
@@ -180,11 +180,11 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
                 if reverse:
                     s = jnp.dot(u_lane, be_scratch[k % num_slots, :, :].T,
                                 preferred_element_type=jnp.float32,
-                            precision=MM_PRECISION)
+                            precision=MM_PRECISION_PALLAS)
                 else:
                     s = jnp.dot(u_lane, be_scratch[k % num_slots, :, :],
                                 preferred_element_type=jnp.float32,
-                            precision=MM_PRECISION)
+                            precision=MM_PRECISION_PALLAS)
                 val = jnp.log(jnp.maximum(s, TINY)) + cmax_lane
                 if reverse:
                     fixed = jnp.broadcast_to(val, carry_ref.shape)
@@ -559,10 +559,10 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
             mat = static_exp_ref[c, :, :]
             if reverse:
                 s = jnp.dot(u, mat.T, preferred_element_type=jnp.float32,
-                            precision=MM_PRECISION)
+                            precision=MM_PRECISION_PALLAS)
             else:
                 s = jnp.dot(u, mat, preferred_element_type=jnp.float32,
-                            precision=MM_PRECISION)
+                            precision=MM_PRECISION_PALLAS)
             val = jnp.log(jnp.maximum(s, TINY)) + cmax
             lane_is_c = cls_ref[0, :, c:c + 1] > 0.5
             result = jnp.where(lane_is_c, val, result)
@@ -618,11 +618,11 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                         if reverse:
                             s_r = jnp.dot(u_slab[r:r + 1, :], mat.T,
                                           preferred_element_type=jnp.float32,
-                                          precision=MM_PRECISION)
+                                          precision=MM_PRECISION_PALLAS)
                         else:
                             s_r = jnp.dot(u_slab[r:r + 1, :], mat,
                                           preferred_element_type=jnp.float32,
-                                          precision=MM_PRECISION)
+                                          precision=MM_PRECISION_PALLAS)
                         rows.append(s_r)
                     s = jnp.concatenate(rows, axis=0)
                 val = jnp.log(jnp.maximum(s, TINY)) + cmax_slab

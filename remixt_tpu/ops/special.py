@@ -28,6 +28,11 @@ def _mm_precision():
     CPU/GPU backends ignore the flag. Override with
     ``REMIXT_TPU_MM_PRECISION={default,high,highest}``.
 
+    Mosaic (the Pallas TPU compiler) only lowers DEFAULT and HIGHEST dots
+    (jax 0.9 ``_dot_general_lowering_rule`` raises on HIGH), so the Pallas
+    kernels use :data:`MM_PRECISION_PALLAS`, which clamps HIGH → HIGHEST;
+    ``high`` therefore only affects the XLA scan path.
+
     Default is HIGHEST — the setting every checked-in accuracy number
     (ACCURACY.json, benchmark/ACCURACY_BENCH.json) was measured under.
     Flip to ``high`` only together with a re-run of the TPU accuracy
@@ -42,6 +47,11 @@ def _mm_precision():
 
 
 MM_PRECISION = _mm_precision()
+
+#: Precision for dots inside Pallas kernels: Mosaic has no HIGH lowering.
+MM_PRECISION_PALLAS = (jax.lax.Precision.HIGHEST
+                       if MM_PRECISION == jax.lax.Precision.HIGH
+                       else MM_PRECISION)
 
 
 def logsumexp(x, axis=-1, keepdims=False):

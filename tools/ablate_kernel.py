@@ -40,13 +40,15 @@ print('RESULT ' + json.dumps({
 '''
 
 # (precision, fixup_vpu, grouped_slots) — the first row is the shipped
-# default and doubles as the baseline sanity check
+# default and doubles as the baseline sanity check. 'high' is absent:
+# Mosaic lowers only DEFAULT/HIGHEST dots, so inside the Pallas kernels
+# HIGH is clamped to HIGHEST (ops/special.py MM_PRECISION_PALLAS) and
+# would measure the same as the baseline here.
 GRID = [
     ('highest', '0', '2'),
-    ('high', '0', '2'),
-    ('high', '1', '2'),
+    ('default', '0', '2'),
     ('highest', '1', '2'),
-    ('high', '0', '3'),
+    ('highest', '0', '3'),
 ]
 
 
