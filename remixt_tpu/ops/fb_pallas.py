@@ -35,9 +35,11 @@ TINY = 1e-37
 CLS_CHANNELS = 128
 
 # Grouped-kernel tuning knobs (read once at import; ablation probes flip
-# these via env before picking new defaults — see BENCH_DETAIL.json).
-#   fix-up batched matvec: VPU multiply-reduce (1) vs R serial MXU dots (0)
-GROUPED_FIXUP_VPU = os.environ.get('REMIXT_TPU_FIXUP_VPU', '0') == '1'
+# these via env before picking new defaults — see ABLATION.json).
+#   fix-up batched matvec: VPU multiply-reduce (1) vs R serial MXU dots (0);
+#   the measured grid picked VPU (bit-identical output, +4% single-restart,
+#   +8% restart-batched on v5e at N=6000/S=355/R=12)
+GROUPED_FIXUP_VPU = os.environ.get('REMIXT_TPU_FIXUP_VPU', '1') == '1'
 #   junction-slab double-buffer depth (VMEM: slots * R * Sp^2 floats)
 GROUPED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_GROUPED_SLOTS', '2'))
 #   per-matrix breakend scratch depth in the restart-tiled/single kernels

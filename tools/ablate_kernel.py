@@ -45,10 +45,11 @@ print('RESULT ' + json.dumps({
 # HIGH is clamped to HIGHEST (ops/special.py MM_PRECISION_PALLAS) and
 # would measure the same as the baseline here.
 GRID = [
+    ('highest', '1', '2'),
     ('highest', '0', '2'),
     ('default', '0', '2'),
-    ('highest', '1', '2'),
-    ('highest', '0', '3'),
+    ('default', '1', '2'),
+    ('highest', '1', '3'),
 ]
 
 
