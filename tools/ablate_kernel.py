@@ -84,7 +84,8 @@ def run_config(precision, fixup, slots, timeout_s, attempts=2):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--quick', action='store_true',
-                        help='only the first two configs (default vs HIGH)')
+                        help='only the first two configs (shipped default '
+                             'vs serial-dot fix-up)')
     parser.add_argument('--timeout', type=int, default=1500,
                         help='per-config subprocess timeout (s)')
     args = parser.parse_args()
