@@ -1,0 +1,49 @@
+"""Restart-axis scaling probe for the grouped batched sweep (real TPU).
+
+Times the restart-batched VI sweep at several R values and prints
+aggregate segments/s plus per-step cost relative to R=1, answering how
+the grouped kernel's per-step cost grows with the restart axis (lanes
+RQp, junction slab size, fix-up width all scale with R).  Findings feed
+kernel work: an aggregate curve that stays below the single-restart
+sweep means the batched path is not yet MXU-bound at production shape.
+
+Usage (on the TPU host):
+    python tools/probe_restart_scaling.py [R ...]   # default 1 2 4 8 12
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def main():
+    rs = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, 12]
+    spec, params, state, _ = bench.build_problem(bench.TPU_N, bench.TPU_EVENTS)
+    single = bench.time_single_sweep(spec, params, state)
+    rows = [{'R': 0, 'note': 'single-restart sweep (non-grouped kernel)',
+             'segments_per_s': round(single, 1)}]
+    print(json.dumps(rows[0]), flush=True)
+    base_step_s = None
+    for r in rs:
+        agg = bench.time_restart_batched_sweep(spec, params, state, r)
+        step_s = r * spec.N / agg / spec.N  # seconds per grid step x chains
+        if base_step_s is None:
+            base_step_s = step_s
+        row = {'R': r, 'segments_per_s': round(agg, 1),
+               'per_restart_segments_per_s': round(agg / r, 1),
+               'step_cost_vs_R1': round(step_s / base_step_s, 2)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    out = os.path.join(REPO, 'RESTART_SCALING.json')
+    with open(out, 'w') as f:
+        json.dump(rows, f, indent=2)
+    print('wrote', out)
+
+
+if __name__ == '__main__':
+    main()
