@@ -33,17 +33,27 @@ from remixt_tpu.ops.special import MM_PRECISION_PALLAS
 NEG = -1e30
 TINY = 1e-37
 CLS_CHANNELS = 128
+# channel of the streamed class plane carrying the per-(step, lane) frame
+# max shift for the scaled-linear kernels (static classes use 0..126)
+FMAX_CH = CLS_CHANNELS - 1
 
 # Grouped-kernel tuning knobs (read once at import; ablation probes flip
 # these via env before picking new defaults — see ABLATION.json).
 #   fix-up batched matvec: VPU multiply-reduce (1) vs R serial MXU dots (0);
-#   the measured grid picked VPU (bit-identical output, +4% single-restart,
-#   +8% restart-batched on v5e at N=6000/S=355/R=12)
+#   the measured grid picked VPU (bit-identical output, +2.6% single-restart,
+#   +7.8% restart-batched on v5e at N=6000/S=355/R=12)
 GROUPED_FIXUP_VPU = os.environ.get('REMIXT_TPU_FIXUP_VPU', '1') == '1'
 #   junction-slab double-buffer depth (VMEM: slots * R * Sp^2 floats)
 GROUPED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_GROUPED_SLOTS', '2'))
 #   per-matrix breakend scratch depth in the restart-tiled/single kernels
 TILED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_TILED_SLOTS', '8'))
+#   scaled-linear-space recursion (classic scaled HMM): carry stays in
+#   max-normalized linear space with a per-lane log-scale accumulator,
+#   eliminating the per-step exp/log transcendental planes that dominate
+#   the serial step budget (RESTART_SCALING.json analysis). log-space
+#   outputs are reconstructed outside the kernel; 0 falls back to the
+#   log-space kernels.
+SCALED_LINEAR = os.environ.get('REMIXT_TPU_SCALED_LINEAR', '1') == '1'
 for _name, _val in (('REMIXT_TPU_GROUPED_SLOTS', GROUPED_NUM_SLOTS),
                     ('REMIXT_TPU_TILED_SLOTS', TILED_NUM_SLOTS)):
     if _val < 1:
@@ -63,6 +73,8 @@ def build_pallas_plan(chain_bank_idx_np, num_static_bank, Q, L, S):
     (step_row, k) -> (lane, breakend index), -1 padded.
     """
     Sp = _round_up(S, 128)
+    if SCALED_LINEAR and Sp == S:
+        Sp += 128   # the scaled kernel stores the log scale in a pad column
     Qp = _round_up(max(Q, 8), 8)
     nsteps = max(L - 1, 1)
 
@@ -70,7 +82,8 @@ def build_pallas_plan(chain_bank_idx_np, num_static_bank, Q, L, S):
     is_be = cls_idx >= num_static_bank
     be_slot = np.where(is_be, cls_idx - num_static_bank, 0)
     cls_idx = np.where(is_be, 0, cls_idx)
-    if num_static_bank > CLS_CHANNELS:
+    if num_static_bank > CLS_CHANNELS - 1:
+        # channel FMAX_CH is reserved for the scaled-linear frame shift
         raise ValueError('too many static transition classes for the kernel')
 
     # one-hot class plane, rows aligned to grid position t = step + 1
@@ -140,9 +153,11 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
         cmax = jnp.max(carry, axis=-1, keepdims=True)
         u = jnp.exp(carry - cmax)
 
-        cut = jnp.log(jnp.maximum(
-            jnp.sum(u, axis=-1, keepdims=True), TINY)) + cmax
-        result = jnp.broadcast_to(cut, u.shape)
+        # class selection happens on the LINEAR sums: elementwise
+        # log/max(TINY) commutes with the lane-select, so one log plane at
+        # the end replaces num_static of them (bit-identical output)
+        s_sel = jnp.broadcast_to(
+            jnp.sum(u, axis=-1, keepdims=True), u.shape)   # cut class
 
         for c in range(1, num_static):
             mat = static_exp_ref[c, :, :]
@@ -152,9 +167,10 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
             else:
                 s = jnp.dot(u, mat, preferred_element_type=jnp.float32,
                             precision=MM_PRECISION_PALLAS)
-            val = jnp.log(jnp.maximum(s, TINY)) + cmax
             lane_is_c = cls_ref[0, :, c:c + 1] > 0.5
-            result = jnp.where(lane_is_c, val, result)
+            s_sel = jnp.where(lane_is_c, s, s_sel)
+
+        result = jnp.log(jnp.maximum(s_sel, TINY)) + cmax
 
         if reverse:
             out_ref[0, :, :] = result
@@ -208,15 +224,159 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
                         sems.at[k % num_slots]).start()
 
 
+def _fb_kernel_scaled(sched_lane_ref, sched_slot_ref,
+                      frame_ref, cls_ref, static_exp_ref, be_exp_ref,
+                      out_ref, carry_ref, scale_ref, be_scratch, sems,
+                      *, kmax, num_static, reverse, num_slots, scale_col):
+    """Scaled-linear-space variant of _fb_kernel_wrapped (classic scaled-HMM
+    recursion — a new formulation here, not a reference port: the
+    reference's sum_product, bpmodel.pyx:1213-1246, is log-space with a
+    per-step logsumexp).
+
+    The carry stays in per-lane max-normalized LINEAR space with a log-scale
+    accumulator in scratch, so the serial step spends no full-plane
+    exp/log — only the MXU dots, one max-reduce and a (Qp, 1)-sized
+    log/reciprocal. frame_ref holds exp(frame - fmax) (shifted outside);
+    the shift fmax rides channel FMAX_CH of the class plane. The output
+    block carries u in the state columns and the lane's log scale in pad
+    state column ``scale_col``; log messages are reconstructed outside as
+    log(max(u, TINY)) + scale, reproducing the log-space kernel's TINY
+    clamp ~85 nats below the lane maximum.
+    """
+    t = pl.program_id(0)
+    Qp = carry_ref.shape[0]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, carry_ref.shape, 1)
+
+    @pl.when(t == 0)
+    def _init():
+        if reverse:
+            u0 = jnp.ones_like(carry_ref)
+            sc0 = jnp.zeros_like(scale_ref)
+        else:
+            u0 = frame_ref[0, :, :]
+            sc0 = jnp.broadcast_to(
+                cls_ref[0, :, FMAX_CH:FMAX_CH + 1], scale_ref.shape)
+        carry_ref[:, :] = u0
+        scale_ref[:, :] = sc0
+        out_ref[0, :, :] = jnp.where(col_iota == scale_col, sc0[:, :1], u0)
+
+    @pl.when(t > 0)
+    def _step():
+        for k in range(min(kmax, num_slots)):
+            lane = sched_lane_ref[k, t]
+
+            @pl.when(lane >= 0)
+            def _start(k=k):
+                slot = sched_slot_ref[k, t]
+                pltpu.make_async_copy(
+                    be_exp_ref.at[slot], be_scratch.at[k % num_slots],
+                    sems.at[k % num_slots]).start()
+
+        u_prev = carry_ref[:, :]
+        sc_prev = scale_ref[:, :]
+        fmax_t = cls_ref[0, :, FMAX_CH:FMAX_CH + 1]      # (Qp, 1)
+        frame_exp = frame_ref[0, :, :]
+
+        # reverse folds the position's frame in BEFORE the contraction
+        # (beta recursion); forward after. Pad state columns stay zero
+        # through both (frame_exp is 0 there; bank pad rows/cols are 0).
+        base = u_prev * frame_exp if reverse else u_prev
+
+        s_sel = jnp.broadcast_to(
+            jnp.sum(base, axis=-1, keepdims=True), base.shape)   # cut class
+        for c in range(1, num_static):
+            mat = static_exp_ref[c, :, :]
+            if reverse:
+                s = jnp.dot(base, mat.T, preferred_element_type=jnp.float32,
+                            precision=MM_PRECISION_PALLAS)
+            else:
+                s = jnp.dot(base, mat, preferred_element_type=jnp.float32,
+                            precision=MM_PRECISION_PALLAS)
+            lane_is_c = cls_ref[0, :, c:c + 1] > 0.5
+            s_sel = jnp.where(lane_is_c, s, s_sel)
+
+        if not reverse:
+            s_sel = s_sel * frame_exp
+
+        m = jnp.maximum(jnp.max(s_sel, axis=-1, keepdims=True), TINY)
+        u = s_sel * (1.0 / m)
+        scale = sc_prev + jnp.log(m) + fmax_t
+
+        out_ref[0, :, :] = jnp.where(col_iota == scale_col, scale[:, :1], u)
+        carry_ref[:, :] = u
+        scale_ref[:, :] = scale
+
+        for k in range(kmax):
+            lane = sched_lane_ref[k, t]
+
+            @pl.when(lane >= 0)
+            def _apply(k=k):
+                slot = sched_slot_ref[k, t]
+                pltpu.make_async_copy(
+                    be_exp_ref.at[slot], be_scratch.at[k % num_slots],
+                    sems.at[k % num_slots]).wait()
+                onehot = (jax.lax.broadcasted_iota(jnp.int32, (Qp, 1), 0)
+                          == lane)
+                base_lane = jnp.sum(jnp.where(onehot, base, 0.0),
+                                    axis=0, keepdims=True)
+                mat = be_scratch[k % num_slots, :, :]
+                if reverse:
+                    s_l = jnp.dot(base_lane, mat.T,
+                                  preferred_element_type=jnp.float32,
+                                  precision=MM_PRECISION_PALLAS)
+                else:
+                    frame_l = jnp.sum(jnp.where(onehot, frame_exp, 0.0),
+                                      axis=0, keepdims=True)
+                    s_l = jnp.dot(base_lane, mat,
+                                  preferred_element_type=jnp.float32,
+                                  precision=MM_PRECISION_PALLAS) * frame_l
+                m_l = jnp.maximum(jnp.max(s_l, axis=-1, keepdims=True), TINY)
+                u_l = s_l * (1.0 / m_l)
+                sc_prev_l = jnp.sum(jnp.where(onehot, sc_prev[:, :1], 0.0),
+                                    axis=0, keepdims=True)
+                fmax_l = jnp.sum(jnp.where(onehot, fmax_t, 0.0),
+                                 axis=0, keepdims=True)
+                scale_l = sc_prev_l + jnp.log(m_l) + fmax_l       # (1, 1)
+                u_full = jnp.broadcast_to(u_l, carry_ref.shape)
+                patched = jnp.where(col_iota == scale_col, scale_l, u_full)
+                out_ref[0, :, :] = jnp.where(onehot, patched, out_ref[0, :, :])
+                carry_ref[:, :] = jnp.where(onehot, u_full, carry_ref[:, :])
+                scale_ref[:, :] = jnp.where(
+                    onehot, jnp.broadcast_to(scale_l, scale_ref.shape),
+                    scale_ref[:, :])
+
+            if k + num_slots < kmax:
+                lane_next = sched_lane_ref[k + num_slots, t]
+
+                @pl.when(lane_next >= 0)
+                def _start_next(k=k):
+                    slot = sched_slot_ref[k + num_slots, t]
+                    pltpu.make_async_copy(
+                        be_exp_ref.at[slot], be_scratch.at[k % num_slots],
+                        sems.at[k % num_slots]).start()
+
+
+def _scaled_to_log(tm_out):
+    """Reconstruct log-space messages from a scaled-linear kernel output:
+    state columns hold max-normalized u, the last column the log scale."""
+    sc = tm_out[:, :, -1:]
+    return jnp.log(jnp.maximum(tm_out, TINY)) + sc
+
+
 def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
-                   interpret=False):
+                   interpret=False, fmax=None):
     """frame_tm: (L, Qp, Sp) time-major frame input for this direction
-    (already flipped/shifted for reverse). Returns (L, Qp, Sp)."""
+    (already flipped/shifted for reverse). Returns (L, Qp, Sp).
+
+    With ``fmax`` (L, Qp) given, runs the scaled-linear kernel: frame_tm
+    must then hold exp(frame - fmax) and the returned array needs
+    _scaled_to_log."""
     L, Qp, Sp = frame_tm.shape
     kmax = plan['kmax']
     # scoped VMEM caps the fix-up scratch; DMAs double-buffer in waves
     num_slots = min(kmax, TILED_NUM_SLOTS)
     num_static = static_exp.shape[0]
+    scaled = fmax is not None
 
     sched_lane = plan['sched_lane']
     sched_slot = plan['sched_slot']
@@ -230,9 +390,32 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
         cls_onehot = np.concatenate(
             [cls_onehot[:1], cls_onehot[1:][::-1]], axis=0)
 
-    kernel = functools.partial(
-        _fb_kernel_wrapped, kmax=kmax, num_static=num_static,
-        reverse=reverse, num_slots=num_slots)
+    cls_plane = jnp.asarray(cls_onehot)
+    if scaled:
+        # the frame max shift rides a free channel of the class plane; the
+        # reverse reorder of fmax mirrors the cls/frame row reorder above
+        if reverse:
+            fmax = jnp.concatenate([fmax[:1], fmax[1:][::-1]], axis=0)
+        cls_plane = cls_plane.at[:, :, FMAX_CH].set(
+            fmax.astype(jnp.float32))
+        kernel = functools.partial(
+            _fb_kernel_scaled, kmax=kmax, num_static=num_static,
+            reverse=reverse, num_slots=num_slots, scale_col=Sp - 1)
+        scratch_shapes = [
+            pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry u
+            pltpu.VMEM((Qp, CLS_CHANNELS), jnp.float32),       # log scale
+            pltpu.VMEM((num_slots, Sp, Sp), jnp.float32),      # breakend mats
+            pltpu.SemaphoreType.DMA((num_slots,)),
+        ]
+    else:
+        kernel = functools.partial(
+            _fb_kernel_wrapped, kmax=kmax, num_static=num_static,
+            reverse=reverse, num_slots=num_slots)
+        scratch_shapes = [
+            pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
+            pltpu.VMEM((num_slots, Sp, Sp), jnp.float32),      # breakend mats
+            pltpu.SemaphoreType.DMA((num_slots,)),
+        ]
 
     # Both directions stream the SAME forward-time frame array: the
     # reverse recursion reads frame step L-t (what a host-side
@@ -262,11 +445,7 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
         ],
         out_specs=pl.BlockSpec((1, Qp, Sp), out_idx,
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
-            pltpu.VMEM((num_slots, Sp, Sp), jnp.float32),      # breakend mats
-            pltpu.SemaphoreType.DMA((num_slots,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     return pl.pallas_call(
@@ -275,7 +454,7 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
         out_shape=jax.ShapeDtypeStruct((L, Qp, Sp), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(sched_lane), jnp.asarray(sched_slot),
-      frame_tm, jnp.asarray(cls_onehot), static_exp, be_exp)
+      frame_tm, cls_plane, static_exp, be_exp)
 
 
 def forward_backward_chains_pallas(framelogprob, static_bank, be_bank,
@@ -314,14 +493,26 @@ def forward_backward_chains_pallas(framelogprob, static_bank, be_bank,
     if J:
         be_exp = be_exp.at[:J, :S, :S].set(jnp.exp(be_bank).astype(jnp.float32))
 
+    if SCALED_LINEAR:
+        # scaled-linear kernel: stream exp(frame - fmax); the shift is a
+        # parallel-over-L XLA pass, off the serial critical path
+        fmax = jnp.max(Ftp, axis=-1)                  # (L, Qp)
+        frame_in = jnp.exp(Ftp - fmax[..., None])
+    else:
+        fmax = None
+        frame_in = Ftp
+
     alphas_tm = _run_direction(
-        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
-        interpret=interpret)
-    # the reverse runner reads Ftp through a shifted-reversed index map
-    # and writes betas in forward time order (no reversed HBM copies)
+        frame_in, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
+        interpret=interpret, fmax=fmax)
+    # the reverse runner reads the frame through a shifted-reversed index
+    # map and writes betas in forward time order (no reversed HBM copies)
     betas_tm = _run_direction(
-        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
-        interpret=interpret)
+        frame_in, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
+        interpret=interpret, fmax=fmax)
+    if SCALED_LINEAR:
+        alphas_tm = _scaled_to_log(alphas_tm)
+        betas_tm = _scaled_to_log(betas_tm)
 
     alphas_b = jnp.swapaxes(alphas_tm, 0, 1)[:Q, :, :S]   # (Q, L, S)
     betas_b = jnp.swapaxes(betas_tm, 0, 1)[:Q, :, :S]
@@ -353,6 +544,8 @@ def build_pallas_plan_restarts(chain_bank_idx_np, num_static_bank, Q, L, S,
     R = num_restarts
     J = num_breakends
     Sp = _round_up(S, 128)
+    if SCALED_LINEAR and Sp == S:
+        Sp += 128   # pad column for the scaled kernel's log scale
     RQ = R * Q
     RQp = _round_up(max(RQ, 8), 8)
     nsteps = max(L - 1, 1)
@@ -361,7 +554,8 @@ def build_pallas_plan_restarts(chain_bank_idx_np, num_static_bank, Q, L, S,
     is_be = cls_idx >= num_static_bank
     be_slot = np.where(is_be, cls_idx - num_static_bank, 0)
     cls_idx = np.where(is_be, 0, cls_idx)
-    if num_static_bank > CLS_CHANNELS:
+    if num_static_bank > CLS_CHANNELS - 1:
+        # channel FMAX_CH is reserved for the scaled-linear frame shift
         raise ValueError('too many static transition classes for the kernel')
 
     cls_onehot = np.zeros((L, RQp, CLS_CHANNELS), dtype=np.float32)
@@ -424,14 +618,24 @@ def forward_backward_chains_pallas_restarts(frame_b, static_bank, be_bank_b,
         be_exp = be_exp.at[:R * J, :S, :S].set(
             jnp.exp(be_bank_b).astype(jnp.float32).reshape(R * J, S, S))
 
+    if SCALED_LINEAR:
+        fmax = jnp.max(Ftp, axis=-1)                  # (L, RQp)
+        frame_in = jnp.exp(Ftp - fmax[..., None])
+    else:
+        fmax = None
+        frame_in = Ftp
+
     alphas_tm = _run_direction(
-        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
-        interpret=interpret)
-    # the reverse runner reads Ftp through a shifted-reversed index map
-    # and writes betas in forward time order (no reversed HBM copies)
+        frame_in, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
+        interpret=interpret, fmax=fmax)
+    # the reverse runner reads the frame through a shifted-reversed index
+    # map and writes betas in forward time order (no reversed HBM copies)
     betas_tm = _run_direction(
-        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
-        interpret=interpret)
+        frame_in, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
+        interpret=interpret, fmax=fmax)
+    if SCALED_LINEAR:
+        alphas_tm = _scaled_to_log(alphas_tm)
+        betas_tm = _scaled_to_log(betas_tm)
 
     alphas_b = jnp.swapaxes(alphas_tm, 0, 1)[:R * Q, :, :S].reshape(
         R, Q, L, S)
@@ -467,13 +671,16 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
     """
     R = num_restarts
     Sp = _round_up(S, 128)
+    if SCALED_LINEAR and Sp == S:
+        Sp += 128   # pad column for the scaled kernel's log scale
     RQp = _round_up(max(Q * R, 8), 8)
 
     cls_idx = chain_bank_idx_np.T.copy()              # (L-1, Q)
     is_be = cls_idx >= num_static_bank
     be_slot = np.where(is_be, cls_idx - num_static_bank, 0)
     cls_idx = np.where(is_be, 0, cls_idx)
-    if num_static_bank > CLS_CHANNELS:
+    if num_static_bank > CLS_CHANNELS - 1:
+        # channel FMAX_CH is reserved for the scaled-linear frame shift
         raise ValueError('too many static transition classes for the kernel')
 
     cls_onehot = np.zeros((L, RQp, CLS_CHANNELS), dtype=np.float32)
@@ -553,9 +760,10 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
         cmax = jnp.max(carry, axis=-1, keepdims=True)
         u = jnp.exp(carry - cmax)
 
-        cut = jnp.log(jnp.maximum(
-            jnp.sum(u, axis=-1, keepdims=True), TINY)) + cmax
-        result = jnp.broadcast_to(cut, u.shape)
+        # linear-space class selection, single log plane (see the
+        # non-grouped kernel: bit-identical, saves num_static-1 log planes)
+        s_sel = jnp.broadcast_to(
+            jnp.sum(u, axis=-1, keepdims=True), u.shape)   # cut class
 
         for c in range(1, num_static):
             mat = static_exp_ref[c, :, :]
@@ -565,9 +773,10 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
             else:
                 s = jnp.dot(u, mat, preferred_element_type=jnp.float32,
                             precision=MM_PRECISION_PALLAS)
-            val = jnp.log(jnp.maximum(s, TINY)) + cmax
             lane_is_c = cls_ref[0, :, c:c + 1] > 0.5
-            result = jnp.where(lane_is_c, val, result)
+            s_sel = jnp.where(lane_is_c, s, s_sel)
+
+        result = jnp.log(jnp.maximum(s_sel, TINY)) + cmax
 
         if reverse:
             out_ref[0, :, :] = result
@@ -647,8 +856,161 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                     _fetch_slab(k, sched_slot_ref[k + num_slots, t])
 
 
+def _fb_kernel_grouped_scaled(sched_lane_ref, sched_slot_ref,
+                              frame_ref, cls_ref, static_exp_ref, be_exp_ref,
+                              out_ref, carry_ref, scale_ref, be_scratch, sems,
+                              *, kmax, num_static, reverse, num_slots, R,
+                              fixup_vpu, scale_col):
+    """Scaled-linear-space variant of _fb_kernel_grouped: same junction
+    slab DMA / one-hot addressing, but the carry stays in per-lane
+    max-normalized linear space with a log-scale scratch (see
+    _fb_kernel_scaled for the numerics contract)."""
+    t = pl.program_id(0)
+    Qp = carry_ref.shape[0]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, carry_ref.shape, 1)
+
+    def _fetch_slab(k, slot):
+        pltpu.make_async_copy(
+            be_exp_ref.at[pl.ds(slot * R, R)],
+            be_scratch.at[k % num_slots],
+            sems.at[k % num_slots]).start()
+
+    @pl.when(t == 0)
+    def _init():
+        if reverse:
+            u0 = jnp.ones_like(carry_ref)
+            sc0 = jnp.zeros_like(scale_ref)
+        else:
+            u0 = frame_ref[0, :, :]
+            sc0 = jnp.broadcast_to(
+                cls_ref[0, :, FMAX_CH:FMAX_CH + 1], scale_ref.shape)
+        carry_ref[:, :] = u0
+        scale_ref[:, :] = sc0
+        out_ref[0, :, :] = jnp.where(col_iota == scale_col, sc0[:, :1], u0)
+
+    @pl.when(t > 0)
+    def _step():
+        for k in range(min(kmax, num_slots)):
+            lane = sched_lane_ref[k, t]
+
+            @pl.when(lane >= 0)
+            def _start(k=k):
+                _fetch_slab(k, sched_slot_ref[k, t])
+
+        u_prev = carry_ref[:, :]
+        sc_prev = scale_ref[:, :]
+        fmax_t = cls_ref[0, :, FMAX_CH:FMAX_CH + 1]      # (Qp, 1)
+        frame_exp = frame_ref[0, :, :]
+
+        base = u_prev * frame_exp if reverse else u_prev
+
+        s_sel = jnp.broadcast_to(
+            jnp.sum(base, axis=-1, keepdims=True), base.shape)   # cut class
+        for c in range(1, num_static):
+            mat = static_exp_ref[c, :, :]
+            if reverse:
+                s = jnp.dot(base, mat.T, preferred_element_type=jnp.float32,
+                            precision=MM_PRECISION_PALLAS)
+            else:
+                s = jnp.dot(base, mat, preferred_element_type=jnp.float32,
+                            precision=MM_PRECISION_PALLAS)
+            lane_is_c = cls_ref[0, :, c:c + 1] > 0.5
+            s_sel = jnp.where(lane_is_c, s, s_sel)
+
+        if not reverse:
+            s_sel = s_sel * frame_exp
+
+        m = jnp.maximum(jnp.max(s_sel, axis=-1, keepdims=True), TINY)
+        u = s_sel * (1.0 / m)
+        scale = sc_prev + jnp.log(m) + fmax_t
+
+        out_ref[0, :, :] = jnp.where(col_iota == scale_col, scale[:, :1], u)
+        carry_ref[:, :] = u
+        scale_ref[:, :] = scale
+
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, 1), 0)
+
+        for k in range(kmax):
+            lane = sched_lane_ref[k, t]
+
+            @pl.when(lane >= 0)
+            def _apply(k=k):
+                slot = sched_slot_ref[k, t]
+                pltpu.make_async_copy(
+                    be_exp_ref.at[pl.ds(slot * R, R)],
+                    be_scratch.at[k % num_slots],
+                    sems.at[k % num_slots]).wait()
+                # gather the slab's R lanes of the PRE-update base with a
+                # one-hot (R, Qp) selection matmul (exact: one unit
+                # coefficient per output row; lane ADDRESSING stays at
+                # HIGHEST regardless of the semiring precision knob)
+                slab_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 0)
+                col_sel = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 1)
+                sel = (col_sel == lane + slab_iota).astype(jnp.float32)
+                base_slab = jnp.dot(sel, base,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+                if fixup_vpu:
+                    slab = be_scratch[k % num_slots, :, :, :]   # (R, Sp, Sp)
+                    if reverse:
+                        s_slab = jnp.sum(base_slab[:, None, :] * slab, axis=2)
+                    else:
+                        s_slab = jnp.sum(base_slab[:, :, None] * slab, axis=1)
+                else:
+                    rows = []
+                    for r in range(R):
+                        mat = be_scratch[k % num_slots, r, :, :]
+                        if reverse:
+                            s_r = jnp.dot(base_slab[r:r + 1, :], mat.T,
+                                          preferred_element_type=jnp.float32,
+                                          precision=MM_PRECISION_PALLAS)
+                        else:
+                            s_r = jnp.dot(base_slab[r:r + 1, :], mat,
+                                          preferred_element_type=jnp.float32,
+                                          precision=MM_PRECISION_PALLAS)
+                        rows.append(s_r)
+                    s_slab = jnp.concatenate(rows, axis=0)
+                if not reverse:
+                    frame_slab = jnp.dot(sel, frame_exp,
+                                         preferred_element_type=jnp.float32,
+                                         precision=jax.lax.Precision.HIGHEST)
+                    s_slab = s_slab * frame_slab
+                m_slab = jnp.maximum(
+                    jnp.max(s_slab, axis=-1, keepdims=True), TINY)  # (R, 1)
+                u_slab = s_slab * (1.0 / m_slab)
+                sc_prev_slab = jnp.dot(sel, sc_prev[:, :1],
+                                       preferred_element_type=jnp.float32,
+                                       precision=jax.lax.Precision.HIGHEST)
+                fmax_slab = jnp.dot(sel, fmax_t,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+                scale_slab = sc_prev_slab + jnp.log(m_slab) + fmax_slab
+                # scatter back to the full plane (selᵀ) and overwrite the
+                # slab's R lanes; other lanes keep their value
+                full_u = jnp.dot(sel.T, u_slab,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                full_scale = jnp.dot(sel.T, scale_slab,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
+                mask = (row_iota >= lane) & (row_iota < lane + R)
+                patched = jnp.where(col_iota == scale_col, full_scale, full_u)
+                out_ref[0, :, :] = jnp.where(mask, patched, out_ref[0, :, :])
+                carry_ref[:, :] = jnp.where(mask, full_u, carry_ref[:, :])
+                scale_ref[:, :] = jnp.where(
+                    mask, jnp.broadcast_to(full_scale, scale_ref.shape),
+                    scale_ref[:, :])
+
+            if k + num_slots < kmax:
+                lane_next = sched_lane_ref[k + num_slots, t]
+
+                @pl.when(lane_next >= 0)
+                def _start_next(k=k):
+                    _fetch_slab(k, sched_slot_ref[k + num_slots, t])
+
+
 def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
-                           plan, reverse, interpret=False):
+                           plan, reverse, interpret=False, fmax=None):
     """Grouped-kernel direction runner; be_exp_grouped is (J*R, Sp, Sp),
     junction-major (junction j's restart slab at rows [j*R, (j+1)*R))."""
     L, Qp, Sp = frame_tm.shape
@@ -656,6 +1018,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
     R = plan['num_restarts']
     num_slots = min(kmax, GROUPED_NUM_SLOTS)
     num_static = static_exp.shape[0]
+    scaled = fmax is not None
 
     sched_lane = plan['sched_lane']
     sched_slot = plan['sched_slot']
@@ -667,10 +1030,20 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         cls_onehot = np.concatenate(
             [cls_onehot[:1], cls_onehot[1:][::-1]], axis=0)
 
-    kernel = functools.partial(
-        _fb_kernel_grouped, kmax=kmax, num_static=num_static,
-        reverse=reverse, num_slots=num_slots, R=R,
-        fixup_vpu=GROUPED_FIXUP_VPU)
+    cls_plane = jnp.asarray(cls_onehot)
+    if scaled:
+        if reverse:
+            fmax = jnp.concatenate([fmax[:1], fmax[1:][::-1]], axis=0)
+        cls_plane = cls_plane.at[:, :, FMAX_CH].set(fmax.astype(jnp.float32))
+        kernel = functools.partial(
+            _fb_kernel_grouped_scaled, kmax=kmax, num_static=num_static,
+            reverse=reverse, num_slots=num_slots, R=R,
+            fixup_vpu=GROUPED_FIXUP_VPU, scale_col=Sp - 1)
+    else:
+        kernel = functools.partial(
+            _fb_kernel_grouped, kmax=kmax, num_static=num_static,
+            reverse=reverse, num_slots=num_slots, R=R,
+            fixup_vpu=GROUPED_FIXUP_VPU)
 
     # Both directions stream the SAME forward-time frame array; the
     # reverse recursion reads frame step L-t (the shifted reversed
@@ -688,6 +1061,17 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         frame_idx = lambda t, *_: (t, 0, 0)
         out_idx = lambda t, *_: (t, 0, 0)
 
+    scratch_shapes = [
+        pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
+    ]
+    if scaled:
+        scratch_shapes.append(
+            pltpu.VMEM((Qp, CLS_CHANNELS), jnp.float32))   # log scale
+    scratch_shapes += [
+        pltpu.VMEM((num_slots, R, Sp, Sp), jnp.float32),   # junction slabs
+        pltpu.SemaphoreType.DMA((num_slots,)),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(L,),
@@ -701,11 +1085,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         ],
         out_specs=pl.BlockSpec((1, Qp, Sp), out_idx,
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
-            pltpu.VMEM((num_slots, R, Sp, Sp), jnp.float32),   # junction slabs
-            pltpu.SemaphoreType.DMA((num_slots,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     # the junction slabs alone are num_slots*R*Sp^2 floats (~14 MB at
@@ -722,7 +1102,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
             vmem_limit_bytes=min(vmem_bytes, 110 * 1024 * 1024)),
         interpret=interpret,
     )(jnp.asarray(sched_lane), jnp.asarray(sched_slot),
-      frame_tm, jnp.asarray(cls_onehot), static_exp, be_exp_grouped)
+      frame_tm, cls_plane, static_exp, be_exp_grouped)
 
 
 def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
@@ -762,14 +1142,24 @@ def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
             jnp.exp(jnp.swapaxes(be_bank_b, 0, 1)).astype(
                 jnp.float32).reshape(J * R, S, S))
 
+    if SCALED_LINEAR:
+        fmax = jnp.max(Ftp, axis=-1)                  # (L, RQp)
+        frame_in = jnp.exp(Ftp - fmax[..., None])
+    else:
+        fmax = None
+        frame_in = Ftp
+
     alphas_tm = _run_direction_grouped(
-        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
-        interpret=interpret)
-    # the reverse runner reads Ftp through a shifted-reversed index map
-    # and writes betas in forward time order (no reversed HBM copies)
+        frame_in, plan['cls_onehot'], static_exp, be_exp, plan, reverse=False,
+        interpret=interpret, fmax=fmax)
+    # the reverse runner reads the frame through a shifted-reversed index
+    # map and writes betas in forward time order (no reversed HBM copies)
     betas_tm = _run_direction_grouped(
-        Ftp, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
-        interpret=interpret)
+        frame_in, plan['cls_onehot'], static_exp, be_exp, plan, reverse=True,
+        interpret=interpret, fmax=fmax)
+    if SCALED_LINEAR:
+        alphas_tm = _scaled_to_log(alphas_tm)
+        betas_tm = _scaled_to_log(betas_tm)
 
     # lanes (q, r) -> (R, Q, L, S), dropping tail pads
     alphas_b = jnp.transpose(

@@ -151,6 +151,23 @@ def test_many_chains_pad_tiles():
     assert_parity(problem)
 
 
+def test_log_space_fallback(monkeypatch):
+    """The log-space kernels remain selectable (REMIXT_TPU_SCALED_LINEAR=0)
+    and parity-equivalent."""
+    monkeypatch.setattr(fb_pallas, 'SCALED_LINEAR', False)
+    problem = build_problem(6, [10, 5], be_frac=0.4)
+    assert_parity(problem)
+
+
+def test_scaled_scale_column_when_S_is_lane_multiple(monkeypatch):
+    """When S is already a lane multiple the scaled kernel must still get a
+    pad column for its log-scale channel (plan bumps Sp)."""
+    monkeypatch.setattr(fb_pallas, 'SCALED_LINEAR', True)
+    problem = build_problem(7, [6, 3], S=128, be_frac=0.3)
+    assert problem['plan']['Sp'] == 256
+    assert_parity(problem)
+
+
 def test_posterior_marginals_match():
     """The consumer-level quantity: normalized alpha+beta marginals."""
     problem = build_problem(5, [11, 6, 3], be_frac=0.4)
@@ -208,9 +225,11 @@ def test_restart_tiled_kernel_matches_batched_scan():
         np.asarray(ln), np.asarray(ln_ref), rtol=1e-5)
 
 
-@pytest.mark.parametrize('fixup_vpu,slots', [(False, 2), (True, 2), (True, 1)])
+@pytest.mark.parametrize('fixup_vpu,slots,scaled', [
+    (False, 2, True), (True, 2, True), (True, 1, True),
+    (True, 2, False)])
 def test_grouped_restart_kernel_matches_batched_scan(
-        monkeypatch, fixup_vpu, slots):
+        monkeypatch, fixup_vpu, slots, scaled):
     """The grouped restart-tiled kernel (chain-major lanes, one DMA per
     junction delivering all restarts' matrices) vs the restart-batched
     scan, interpret mode — both junction fix-up variants (R serial MXU
@@ -218,6 +237,7 @@ def test_grouped_restart_kernel_matches_batched_scan(
     depths."""
     monkeypatch.setattr(fb_pallas, 'GROUPED_FIXUP_VPU', fixup_vpu)
     monkeypatch.setattr(fb_pallas, 'GROUPED_NUM_SLOTS', slots)
+    monkeypatch.setattr(fb_pallas, 'SCALED_LINEAR', scaled)
     problem = build_problem(10, [14, 9, 5], S=6, be_frac=0.4)
     R = 3
     rng = np.random.RandomState(2)

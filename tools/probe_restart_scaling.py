@@ -28,15 +28,18 @@ def main():
     rows = [{'R': 0, 'note': 'single-restart sweep (non-grouped kernel)',
              'segments_per_s': round(single, 1)}]
     print(json.dumps(rows[0]), flush=True)
+    base_r = rs[0]
     base_step_s = None
     for r in rs:
         agg = bench.time_restart_batched_sweep(spec, params, state, r)
-        step_s = r * spec.N / agg / spec.N  # seconds per grid step x chains
+        # Aggregate throughput counts R x N segments per sweep, so r/agg is
+        # proportional to the wall-clock cost of one grid step.
+        step_s = r / agg
         if base_step_s is None:
             base_step_s = step_s
         row = {'R': r, 'segments_per_s': round(agg, 1),
                'per_restart_segments_per_s': round(agg / r, 1),
-               'step_cost_vs_R1': round(step_s / base_step_s, 2)}
+               f'step_cost_vs_R{base_r}': round(step_s / base_step_s, 2)}
         rows.append(row)
         print(json.dumps(row), flush=True)
     out = os.path.join(REPO, 'RESTART_SCALING.json')
