@@ -332,17 +332,16 @@ def _fb_kernel_scaled(sched_lane_ref, sched_slot_ref,
                                   precision=MM_PRECISION_PALLAS) * frame_l
                 m_l = jnp.maximum(jnp.max(s_l, axis=-1, keepdims=True), TINY)
                 u_l = s_l * (1.0 / m_l)
-                sc_prev_l = jnp.sum(jnp.where(onehot, sc_prev[:, :1], 0.0),
-                                    axis=0, keepdims=True)
-                fmax_l = jnp.sum(jnp.where(onehot, fmax_t, 0.0),
-                                 axis=0, keepdims=True)
-                scale_l = sc_prev_l + jnp.log(m_l) + fmax_l       # (1, 1)
+                # per-lane (Qp, 1) scale update — exact at the masked row
+                # (sc_prev/fmax rows ARE the lane's values there); avoids a
+                # (1, 1) -> (Qp, Sp) both-axis broadcast Mosaic rejects
+                scale_lane = sc_prev[:, :1] + jnp.log(m_l) + fmax_t
                 u_full = jnp.broadcast_to(u_l, carry_ref.shape)
-                patched = jnp.where(col_iota == scale_col, scale_l, u_full)
+                patched = jnp.where(col_iota == scale_col, scale_lane, u_full)
                 out_ref[0, :, :] = jnp.where(onehot, patched, out_ref[0, :, :])
                 carry_ref[:, :] = jnp.where(onehot, u_full, carry_ref[:, :])
                 scale_ref[:, :] = jnp.where(
-                    onehot, jnp.broadcast_to(scale_l, scale_ref.shape),
+                    onehot, jnp.broadcast_to(scale_lane, scale_ref.shape),
                     scale_ref[:, :])
 
             if k + num_slots < kmax:

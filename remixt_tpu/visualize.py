@@ -79,6 +79,44 @@ def _brk_payload(brk_cn, offsets):
     return brks
 
 
+def _weighted_density(xs, data, weights, bw_method=0.01):
+    """Weighted KDE evaluated at xs, endpoints pinned to zero so the curve
+    closes as a filled patch (reference visualize.py:461-467)."""
+    import scipy.stats
+    density = scipy.stats.gaussian_kde(
+        np.asarray(data, dtype=float),
+        weights=np.asarray(weights, dtype=float), bw_method=bw_method)
+    ys = density(xs)
+    ys[0] = 0.0
+    ys[-1] = 0.0
+    return ys
+
+
+def _read_depth_payload(store):
+    """Read-depth density curves for the solutions panel (reference
+    visualize.py:469-489): minor/major/total segment depth as
+    length-weighted KDEs over [0, 95th length-weighted percentile]."""
+    try:
+        read_depth = store['read_depth']
+    except KeyError:
+        return None
+    if read_depth is None or len(read_depth.index) == 0:
+        return None
+    depth_max = float(remixt_tpu.utils.weighted_percentile(
+        read_depth['total'].values, read_depth['length'].values, 95))
+    xs = np.concatenate([[0.0], np.linspace(0.0, depth_max, 500), [depth_max]])
+    payload = {'x': [round(float(v), 6) for v in xs]}
+    for col in ['minor', 'major', 'total']:
+        ys = _weighted_density(xs, read_depth[col], read_depth['length'])
+        payload[col] = [round(float(v), 4) for v in ys]
+    try:
+        payload['minor_modes'] = [
+            round(float(v), 6) for v in store['minor_modes'].values]
+    except KeyError:
+        payload['minor_modes'] = []
+    return payload
+
+
 _HTML_TEMPLATE = """<!DOCTYPE html>
 <html>
 <head>
@@ -118,6 +156,10 @@ tr.selected {{ background: #e6f2ff; }}
 <canvas id="clone2" width="1200" height="180"></canvas>
 <h3>raw major vs minor <span style="font-size:11px;color:#666">(drag a box to highlight segments on the tracks, double-click to clear)</span></h3>
 <canvas id="scatter" width="620" height="420"></canvas>
+<div id="depth_section" style="display:none">
+<h3>major/minor/total read depth <span style="font-size:11px;color:#666">(length-weighted density; &#9650; haploid normal, &#9650; haploid tumour, dashed: minor-depth modes)</span></h3>
+<canvas id="depth" width="1200" height="240"></canvas>
+</div>
 <h3>solution statistics <span style="font-size:11px;color:#666">(click a row to select)</span></h3>
 <div id="stats"></div>
 <div id="tooltip"></div>
@@ -303,6 +345,67 @@ function drawScatter(canvas, sol) {{
   ctx.globalAlpha = 1.0;
 }}
 
+// read depth density panel (reference solutions view): minor/major/total
+// length-weighted KDE patches, minor-mode dashed lines, and the selected
+// solution's haploid normal / haploid tumour depth markers
+function drawDepth(canvas, sol) {{
+  const rd = DATA.read_depth;
+  if (!rd) return;
+  const ctx = canvas.getContext('2d');
+  ctx.clearRect(0, 0, canvas.width, canvas.height);
+  const xmax = rd.x[rd.x.length - 1] || 1;
+  const ymax = Math.max(...rd.minor, ...rd.major, ...rd.total, 1e-9);
+  const sx = x => PAD + (canvas.width - 2 * PAD) * x / xmax;
+  const sy = y => canvas.height - PAD - (canvas.height - 2 * PAD) * y / (ymax * 1.05);
+  ctx.font = '9px sans-serif';
+  ctx.fillStyle = '#666';
+  const xticks = 8;
+  for (let i = 0; i <= xticks; i++) {{
+    const xv = xmax * i / xticks;
+    ctx.strokeStyle = '#eee';
+    ctx.beginPath();
+    ctx.moveTo(sx(xv), PAD); ctx.lineTo(sx(xv), canvas.height - PAD);
+    ctx.stroke();
+    ctx.fillText(xv.toPrecision(3), sx(xv) - 10, canvas.height - PAD + 12);
+  }}
+  ctx.fillText('read depth', canvas.width / 2 - 25, canvas.height - 4);
+  for (const [col, color] of [['minor', 'rgba(31,119,180,0.45)'],
+                              ['major', 'rgba(214,39,40,0.45)'],
+                              ['total', 'rgba(120,120,120,0.45)']]) {{
+    ctx.fillStyle = color;
+    ctx.beginPath();
+    ctx.moveTo(sx(rd.x[0]), sy(0));
+    rd.x.forEach((xv, i) => ctx.lineTo(sx(xv), sy(rd[col][i])));
+    ctx.closePath();
+    ctx.fill();
+  }}
+  ctx.strokeStyle = '#555';
+  ctx.setLineDash([4, 3]);
+  for (const mode of rd.minor_modes || []) {{
+    if (mode > xmax) continue;
+    ctx.beginPath();
+    ctx.moveTo(sx(mode), PAD); ctx.lineTo(sx(mode), canvas.height - PAD);
+    ctx.stroke();
+  }}
+  ctx.setLineDash([]);
+  if (sol.h && sol.h.length) {{
+    const hNormal = sol.h[0];
+    const hTumour = sol.h.slice(1).reduce((a, b) => a + b, 0);
+    for (const [xv, color, label] of [[hNormal, 'orange', 'h normal'],
+                                      [hNormal + hTumour, 'green', 'h normal + tumour']]) {{
+      if (xv > xmax) continue;
+      ctx.fillStyle = color;
+      ctx.beginPath();
+      ctx.moveTo(sx(xv), canvas.height - PAD);
+      ctx.lineTo(sx(xv) - 5, canvas.height - PAD + 9);
+      ctx.lineTo(sx(xv) + 5, canvas.height - PAD + 9);
+      ctx.closePath();
+      ctx.fill();
+      ctx.fillText(label, sx(xv) + 6, canvas.height - PAD + 9);
+    }}
+  }}
+}}
+
 function render() {{
   const sol = DATA.solutions[view.solution];
   if (!sol) return;
@@ -310,6 +413,10 @@ function render() {{
   drawTrack(document.getElementById('clone1'), sol, 'major_1', 'minor_1', 4, false);
   drawTrack(document.getElementById('clone2'), sol, 'major_2', 'minor_2', 4, false);
   drawScatter(document.getElementById('scatter'), sol);
+  if (DATA.read_depth) {{
+    document.getElementById('depth_section').style.display = 'block';
+    drawDepth(document.getElementById('depth'), sol);
+  }}
   renderStats();
 }}
 
@@ -474,6 +581,7 @@ def create_genome_visualization(cn, brk_cn, html_filename, stats=None):
         'best': '0',
         'stats': [] if stats is None else stats,
         'stats_columns': [] if stats is None else list(stats[0].keys()),
+        'read_depth': None,
     }
     _write_report(data, html_filename)
 
@@ -506,14 +614,21 @@ def create_solutions_visualization(results_filename, html_filename,
                 brk_cn = None
             segments, chrom_marks, genome_length = _segment_payload(cn)
             offsets = {m['name']: m['x'] for m in chrom_marks}
+            try:
+                h = [round(float(v), 6) for v in store[
+                    '/solutions/solution_{}/h'.format(init_id)].values]
+            except KeyError:
+                h = []
             solutions[str(init_id)] = {
                 'segments': segments,
                 'chrom_marks': chrom_marks,
                 'breakpoints': _brk_payload(brk_cn, offsets),
+                'h': h,
             }
 
         best_stats = stats.sort_values('elbo', ascending=False).iloc[0]
         best = str(best_stats['init_id'])
+        read_depth = _read_depth_payload(store)
 
     stats_records = []
     for _, row in stats.iterrows():
@@ -533,5 +648,6 @@ def create_solutions_visualization(results_filename, html_filename,
         'best': best,
         'stats': stats_records,
         'stats_columns': list(stats.columns),
+        'read_depth': read_depth,
     }
     _write_report(data, html_filename)

@@ -106,6 +106,11 @@ def test_visualize_solutions_cli(cli_results):
     html = open(html_file).read()
     assert 'remixt-tpu solutions' in html
     assert 'major_raw' in html
+    # the read-depth density panel (reference solutions view,
+    # visualize.py:469-530) embeds its curves when the store carries
+    # /read_depth — the collated results store always does
+    assert '"read_depth": {' in html
+    assert '"minor_modes"' in html
 
 
 def test_main_parser():

@@ -39,25 +39,26 @@ print('RESULT ' + json.dumps({
 }))
 '''
 
-# (precision, fixup_vpu, grouped_slots) — the first row is the shipped
-# default and doubles as the baseline sanity check. 'high' is absent:
-# Mosaic lowers only DEFAULT/HIGHEST dots, so inside the Pallas kernels
-# HIGH is clamped to HIGHEST (ops/special.py MM_PRECISION_PALLAS) and
-# would measure the same as the baseline here.
+# (precision, fixup_vpu, grouped_slots, scaled_linear) — the first row is
+# the shipped default and doubles as the baseline sanity check. 'high' is
+# absent: Mosaic lowers only DEFAULT/HIGHEST dots, so inside the Pallas
+# kernels HIGH is clamped to HIGHEST (ops/special.py MM_PRECISION_PALLAS)
+# and would measure the same as the baseline here.
 GRID = [
-    ('highest', '1', '2'),
-    ('highest', '0', '2'),
-    ('default', '0', '2'),
-    ('default', '1', '2'),
-    ('highest', '1', '3'),
+    ('highest', '1', '2', '1'),
+    ('highest', '1', '2', '0'),
+    ('highest', '0', '2', '1'),
+    ('default', '1', '2', '1'),
+    ('highest', '1', '3', '1'),
 ]
 
 
-def run_config(precision, fixup, slots, timeout_s, attempts=2):
+def run_config(precision, fixup, slots, scaled, timeout_s, attempts=2):
     env = dict(os.environ)
     env['REMIXT_TPU_MM_PRECISION'] = precision
     env['REMIXT_TPU_FIXUP_VPU'] = fixup
     env['REMIXT_TPU_GROUPED_SLOTS'] = slots
+    env['REMIXT_TPU_SCALED_LINEAR'] = scaled
     result = {'error': 'no attempts'}
     for attempt in range(attempts):
         try:
@@ -85,19 +86,20 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--quick', action='store_true',
                         help='only the first two configs (shipped default '
-                             'vs serial-dot fix-up)')
+                             'vs log-space kernels)')
     parser.add_argument('--timeout', type=int, default=1500,
                         help='per-config subprocess timeout (s)')
     args = parser.parse_args()
 
     grid = GRID[:2] if args.quick else GRID
     results = []
-    for precision, fixup, slots in grid:
+    for precision, fixup, slots, scaled in grid:
         cfg = {'mm_precision': precision, 'fixup_vpu': fixup,
-               'grouped_slots': slots}
+               'grouped_slots': slots, 'scaled_linear': scaled}
         print('running', cfg, flush=True)
         entry = dict(cfg)
-        entry.update(run_config(precision, fixup, slots, args.timeout))
+        entry.update(run_config(precision, fixup, slots, scaled,
+                                args.timeout))
         print(json.dumps(entry), flush=True)
         results.append(entry)
 
