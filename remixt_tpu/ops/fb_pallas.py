@@ -40,8 +40,9 @@ FMAX_CH = CLS_CHANNELS - 1
 # Grouped-kernel tuning knobs (read once at import; ablation probes flip
 # these via env before picking new defaults — see ABLATION.json).
 #   fix-up batched matvec: VPU multiply-reduce (1) vs R serial MXU dots (0);
-#   the measured grid picked VPU (bit-identical output, +2.6% single-restart,
-#   +7.8% restart-batched on v5e at N=6000/S=355/R=12)
+#   the measured grid picked VPU (bit-identical output; round-3 grid
+#   +1.0% single-restart / +8.1% restart-batched on v5e at
+#   N=6000/S=355/R=12 — ABLATION.json)
 GROUPED_FIXUP_VPU = os.environ.get('REMIXT_TPU_FIXUP_VPU', '1') == '1'
 #   junction-slab double-buffer depth (VMEM: slots * R * Sp^2 floats)
 GROUPED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_GROUPED_SLOTS', '2'))
@@ -49,11 +50,15 @@ GROUPED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_GROUPED_SLOTS', '2'))
 TILED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_TILED_SLOTS', '8'))
 #   scaled-linear-space recursion (classic scaled HMM): carry stays in
 #   max-normalized linear space with a per-lane log-scale accumulator,
-#   eliminating the per-step exp/log transcendental planes that dominate
-#   the serial step budget (RESTART_SCALING.json analysis). log-space
-#   outputs are reconstructed outside the kernel; 0 falls back to the
-#   log-space kernels.
-SCALED_LINEAR = os.environ.get('REMIXT_TPU_SCALED_LINEAR', '1') == '1'
+#   replacing the per-step exp/log planes with one max-reduce and a
+#   (lanes, 1) log. MEASURED A NET LOSS on hardware (ABLATION.json:
+#   -0.4% single-restart, -1.3% restart-batched vs the log-space
+#   kernels, and posterior max-abs-diff 1.2e-4 vs 7e-10) — the step
+#   budget is dominated by fixed per-grid-step overhead and junction
+#   DMA traffic, not the transcendental planes, and the scaled variant
+#   adds frame multiplies + scale-column writes. Kept as an ablation
+#   knob; the log-space kernels are the default.
+SCALED_LINEAR = os.environ.get('REMIXT_TPU_SCALED_LINEAR', '0') == '1'
 for _name, _val in (('REMIXT_TPU_GROUPED_SLOTS', GROUPED_NUM_SLOTS),
                     ('REMIXT_TPU_TILED_SLOTS', TILED_NUM_SLOTS)):
     if _val < 1:
