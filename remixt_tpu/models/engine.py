@@ -48,8 +48,7 @@ import jax.numpy as jnp
 from remixt_tpu.models import states as states_mod
 from remixt_tpu.ops import fb_scan
 from remixt_tpu.ops.special import (
-    logsumexp, exp_normalize, plogp,
-    negbin_log_likelihood, betabin_log_likelihood,
+    MM_PRECISION, logsumexp, exp_normalize, plogp,
 )
 
 
@@ -236,6 +235,10 @@ class ModelSpec:
                 A[c1, c2] = -tp * np.minimum(noflip - total_term, flip - total_term)
                 P[c1, c2] = -tp * total_term
         self.A = jnp.asarray(A, dtype=dtype)       # (C, C, S, S)
+        # exp(A) per class pair, for the fused exp-space breakend bank
+        # (breakend_tmats_exp): exp(-tp*tot) * expA replaces
+        # exp(-tp*tot + A), skipping a full (J, S, S) log-bank pass
+        self.expA = jnp.asarray(np.exp(A), dtype=dtype)
 
         static_bank = np.zeros((1 + C * C, S, S))
         static_bank[1:] = (A + P).reshape(C * C, S, S)
@@ -456,20 +459,40 @@ def _total_emission_rows(spec, params, rows):
 
     Double-where guard: masked segments and degenerate zero-mean lanes
     (zero-length dummy segments) contribute exactly 0 and cannot poison
-    gradients (parity: bpmodel.pyx:751-776)."""
+    gradients (parity: bpmodel.pyx:751-776).
+
+    lgamma factoring: the overdispersion r is a two-valued plane (the
+    hdel override selects between two scalars), so every lgamma whose
+    argument is x+r or r is evaluated ONCE PER BRANCH at (n, 1)/scalar
+    cost and where-selected — the emission keeps only the log(nb_p)
+    planes as full (n, S) transcendentals. Term order matches
+    ops.special.negbin_log_likelihood exactly (bit-identical values)."""
+    lgamma = jax.lax.lgamma
     depth_total_c = jnp.einsum('csm,m->cs', spec.class_total_f(), params.h)
     depth_total = depth_total_c[rows['seg_class']]
 
+    hdel = rows['hdel_override']
     mu = rows['l'][:, None] * depth_total
-    mu_eff = jnp.where(rows['hdel_override'], params.negbin_hdel_mu, mu)
-    r0 = jnp.where(rows['hdel_override'], params.negbin_hdel_r_0, params.negbin_r_0)
-    r1 = jnp.where(rows['hdel_override'], params.negbin_hdel_r_1, params.negbin_r_1)
+    mu_eff = jnp.where(hdel, params.negbin_hdel_mu, mu)
     zero_tot = (rows['total_mask'] == 0)[:, None] | (mu_eff <= 0.0)
     mu_safe = jnp.where(zero_tot, 1.0, mu_eff)
-    return jnp.stack([
-        jnp.where(zero_tot, 0.0, negbin_log_likelihood(rows['x'][:, None], mu_safe, r0)),
-        jnp.where(zero_tot, 0.0, negbin_log_likelihood(rows['x'][:, None], mu_safe, r1)),
-    ], axis=-1)
+
+    x = rows['x']
+    xc = x[:, None]
+    lg_x1 = lgamma(x + 1.0)[:, None]                       # (n, 1)
+
+    lls = []
+    for r_plain, r_hdel in ((params.negbin_r_0, params.negbin_hdel_r_0),
+                            (params.negbin_r_1, params.negbin_hdel_r_1)):
+        r = jnp.where(hdel, r_hdel, r_plain)
+        nb_p = mu_safe / (r + mu_safe)
+        nb_p = jnp.where((nb_p < 0.0) | (nb_p > 1.0), 0.5, nb_p)
+        lg_xr = jnp.where(hdel, lgamma(xc + r_hdel), lgamma(xc + r_plain))
+        lg_r = jnp.where(hdel, lgamma(r_hdel), lgamma(r_plain))
+        ll = (lg_xr - lg_x1 - lg_r
+              + xc * jnp.log(nb_p) + r * jnp.log1p(-nb_p))
+        lls.append(jnp.where(zero_tot, 0.0, ll))
+    return jnp.stack(lls, axis=-1)
 
 
 def _allele_emission_rows(spec, params, rows):
@@ -494,13 +517,37 @@ def _allele_emission_rows(spec, params, rows):
             | (p <= 0.0) | (p >= 1.0))
     p_safe = jnp.where(zero, 0.5, p)
 
+    # lgamma factoring: M is a two-valued plane (the LOH override selects
+    # between two scalars) and k/n depend only on the segment row, so of
+    # the nine lgammas in the beta-binomial pmf only the four with
+    # p-dependent arguments (k+Mp, n-k+Mq, Mp, Mq) stay full (n, S)
+    # planes; the rest evaluate per branch at (n, 1)/scalar cost and
+    # where-select. Term order matches ops.special.betabin_log_likelihood
+    # exactly (bit-identical values).
+    lgamma = jax.lax.lgamma
+    loh = rows['loh_override']
     tr = rows['total_reads'][:, None]
-    lls = []
-    for v, Mv in enumerate([M0, M1]):
+    lg_tr1 = lgamma(tr + 1.0)                              # (n, 1)
+    lg_k1 = [lgamma(rows['y'][:, w][:, None] + 1.0) for w in range(2)]
+    lg_nk1 = [lgamma(tr - rows['y'][:, w][:, None] + 1.0) for w in range(2)]
+
+    lls = [None] * 4
+    for v, (M_plain, M_loh) in enumerate(
+            [(params.betabin_M_0, params.betabin_loh_M_0),
+             (params.betabin_M_1, params.betabin_loh_M_1)]):
+        Mv = jnp.where(loh, M_loh, M_plain)
+        Mp = Mv * p_safe
+        Mq = Mv * (1.0 - p_safe)
+        lg_Mp = lgamma(Mp)
+        lg_Mq = lgamma(Mq)
+        lg_trM = jnp.where(loh, lgamma(tr + M_loh), lgamma(tr + M_plain))
+        lg_M = jnp.where(loh, lgamma(M_loh), lgamma(M_plain))
         for w in range(2):
             k = rows['y'][:, w][:, None]
-            ll = betabin_log_likelihood(k, tr, p_safe, Mv)
-            lls.append(jnp.where(zero, 0.0, ll))
+            ll = (lg_tr1 - lg_k1[w] - lg_nk1[w]
+                  + lgamma(k + Mp) + lgamma(tr - k + Mq)
+                  - lg_trM - lg_Mp - lg_Mq + lg_M)
+            lls[v * 2 + w] = jnp.where(zero, 0.0, ll)
     return jnp.stack(lls, axis=-1).reshape(n, spec.S, 2, 2)
 
 
@@ -547,23 +594,60 @@ ModelSpec.class_minor_f = _class_minor_f
 # transition banks
 # ===========================================================================
 
-def breakend_tmats(spec, p_breakpoint):
-    """Per-breakend transition log-weight matrices (J, S, S).
+def breakend_tot_expectation(spec, p_breakpoint):
+    """Expected total-copy transition penalty per breakend, (J, S, S).
 
     w[j,m,d] = E_{q(brk_kj)}[ f(d − orient_j·b_m) ] (bpmodel.pyx:658-664),
-    expanded to (S, S) through one-hot total matmuls, plus the class-pair
-    allele-consistency matrix.
+    expanded to (S, S) through one-hot total matmuls.
     """
-    if spec.J == 0:
-        return jnp.zeros((0, spec.S, spec.S), dtype=spec.dtype)
     pj = p_breakpoint[spec.be_k]                      # (J, B)
     Fj = spec.F[spec.be_orient01]                     # (J, M, Dn, B)
     w = jnp.einsum('jb,jmdb->jmd', pj, Fj)            # (J, M, Dn)
     Wmat = w[:, :, spec.dsel]                         # (J, M, T, T)
     E1 = spec.Ecls[spec.be_c1]                        # (J, M, S, T)
     E2 = spec.Ecls[spec.be_c2]
-    tot = jnp.einsum('jmst,jmtu,jmzu->jsz', E1, Wmat, E2)
+    return jnp.einsum('jmst,jmtu,jmzu->jsz', E1, Wmat, E2)
+
+
+def breakend_tmats(spec, p_breakpoint):
+    """Per-breakend transition log-weight matrices (J, S, S): the expected
+    total penalty plus the class-pair allele-consistency matrix."""
+    if spec.J == 0:
+        return jnp.zeros((0, spec.S, spec.S), dtype=spec.dtype)
+    tot = breakend_tot_expectation(spec, p_breakpoint)
     return -spec.transition_penalty * tot + spec.A[spec.be_c1, spec.be_c2]
+
+
+def breakend_tmats_exp(spec, p_breakpoint, pad_S=None):
+    """exp-space breakend transition weights, (J, pad_S or S, pad_S or S).
+
+    ``exp(-tp·tot) * expA`` in ONE fused elementwise pass over the tot
+    einsum's output — the log bank (J, S, S) is never materialized, which
+    on the whole-genome problem removes several GB of HBM traffic per VI
+    sweep (the bank build was the sweep's largest component,
+    SWEEP_BUDGET.json). With ``pad_S`` the result is zero-padded to the
+    Pallas lane layout so the kernel wrappers skip their pad copy and the
+    breakpoint update shares the same tensor via CSE.
+    """
+    S = spec.S
+    if spec.J == 0:
+        P = pad_S or S
+        return jnp.zeros((0, P, P), dtype=spec.dtype)
+    tot = breakend_tot_expectation(spec, p_breakpoint)
+    exp_tm = (jnp.exp(-spec.transition_penalty * tot)
+              * spec.expA[spec.be_c1, spec.be_c2])
+    if pad_S is None or pad_S == S:
+        return exp_tm
+    return jnp.pad(exp_tm, ((0, 0), (0, pad_S - S), (0, pad_S - S)))
+
+
+def _sweep_exp_bank_pad(spec):
+    """Padded state width for the sweep's exp-space breakend bank: the
+    Pallas lane padding when the kernel path is active, else none."""
+    if spec.use_pallas and spec.chain_constraint is None \
+            and spec.num_chain_blocks == 1:
+        return spec.pallas_plan['Sp']
+    return None
 
 
 def full_bank(spec, p_breakpoint):
@@ -620,15 +704,50 @@ def xi_transition_dots(spec, state):
     return dot_used, dot_cur
 
 
-def breakend_xi(spec, state):
-    """Normalized pairwise marginals at breakend pairs only: (J, S, S)."""
-    tm = breakend_tmats(spec, state.p_breakpoint_used) * state.chain_scale
+def breakend_cn_diff_marginals(spec, state):
+    """Per-breakend histogram of total-copy differences under the pairwise
+    chain marginals, (J, M, Dn) — WITHOUT materializing xi.
+
+    xi_j ∝ diag(u_a) · exp_tm_j · diag(u_fb) with u_a = exp(α_n − max α_n),
+    u_fb = exp(f_{n+1} + β_{n+1} − max), so the one-hot histogram
+    contraction E1ᵀ·xi·E2 (bpmodel.pyx:619-637) factors into two batched
+    (T, S)×(S, S)×(S, T) matmuls over the exp-space bank the chain update
+    already built (shared via CSE inside the fused sweep jit); the (J, S,
+    S) pairwise-marginal tensor of the direct form — (R·)J·S² floats, the
+    sweep's second-largest HBM component — is never formed. The
+    normalizer is recovered from the contraction itself: rows of E sum to
+    one, so Σ_tu Cmat[j, m] = Σ_sz xi_j for every m.
+
+    The per-axis max shift bounds every product at 1 (exp_tm ≤ 1); joint
+    configurations more than ~85 nats (f32) below the independent axis
+    maxima clamp to zero, the same underflow contract as the scan/Pallas
+    semirings; the TINY denominator floor keeps a fully-clamped junction
+    finite (it then contributes a flat histogram, matching its vanishing
+    posterior weight).
+    """
+    exp_tm = breakend_tmats_exp(spec, state.p_breakpoint_used,
+                                pad_S=_sweep_exp_bank_pad(spec))
+    exp_tm = exp_tm[:, :spec.S, :spec.S]
+    # chain_scale = 0 encodes the construction-time zero bank (exp = 1)
+    exp_tm = jnp.where(state.chain_scale > 0, exp_tm,
+                       jnp.ones_like(exp_tm))
     n = spec.be_n
-    logxi = (state.alphas[n][:, :, None] + tm
-             + (state.framelogprob[n + 1] + state.betas[n + 1])[:, None, :])
-    vmax = jnp.max(logxi, axis=(1, 2), keepdims=True)
-    xi = jnp.exp(logxi - vmax)
-    return xi / jnp.sum(xi, axis=(1, 2), keepdims=True)
+    a = state.alphas[n]                                   # (J, S)
+    fb = state.framelogprob[n + 1] + state.betas[n + 1]   # (J, S)
+    u_a = jnp.exp(a - jnp.max(a, axis=-1, keepdims=True))
+    u_fb = jnp.exp(fb - jnp.max(fb, axis=-1, keepdims=True))
+    E1 = spec.Ecls[spec.be_c1]                            # (J, M, S, T)
+    E2 = spec.Ecls[spec.be_c2]
+    left = E1 * u_a[:, None, :, None]                     # (J, M, S, T)
+    right = E2 * u_fb[:, None, :, None]
+    mid = jnp.einsum('jsz,jmzu->jmsu', exp_tm, right,
+                     precision=MM_PRECISION)
+    Cmat = jnp.einsum('jmst,jmsu->jmtu', left, mid,
+                      precision=MM_PRECISION)             # (J, M, T, T)
+    denom = jnp.sum(Cmat[:, 0], axis=(-2, -1))            # (J,) = Σ xi_j
+    denom = jnp.maximum(denom, jnp.finfo(Cmat.dtype).tiny)
+    p_d = jnp.einsum('jmtu,tud->jmd', Cmat, spec.didx_onehot)
+    return p_d / denom[:, None, None]
 
 
 # ===========================================================================
@@ -653,9 +772,10 @@ def update_p_cn(spec, params, state, ll_tot, ll_alle):
             block_constraint=spec.block_constraint)
     elif spec.use_pallas and spec.chain_constraint is None:
         from remixt_tpu.ops import fb_pallas
-        be_bank = breakend_tmats(spec, state.p_breakpoint)
+        be_exp = breakend_tmats_exp(spec, state.p_breakpoint,
+                                    pad_S=spec.pallas_plan['Sp'])
         alphas, betas, log_norm = fb_pallas.forward_backward_chains_pallas(
-            frame, spec.static_bank, be_bank,
+            frame, spec.static_bank, be_exp,
             spec.chain_seg_map, spec.chain_last, spec.pallas_plan)
     else:
         bank = full_bank(spec, state.p_breakpoint)
@@ -675,15 +795,11 @@ def update_p_cn(spec, params, state, ll_tot, ll_alle):
 
 
 def update_p_breakpoint(spec, params, state):
-    """q(brk) update from breakend pairwise marginals (bpmodel.pyx:964-985)."""
+    """q(brk) update from breakend pairwise marginals (bpmodel.pyx:964-985),
+    via the xi-free histogram contraction."""
     if spec.K == 0:
         return state
-    xi = breakend_xi(spec, state)                     # (J, S, S)
-    E1 = spec.Ecls[spec.be_c1]                        # (J, M, S, T)
-    E2 = spec.Ecls[spec.be_c2]
-    # histogram of total-copy differences under xi, per clone
-    Cmat = jnp.einsum('jmst,jsz,jmzu->jmtu', E1, xi, E2)
-    p_d = jnp.einsum('jmtu,tud->jmd', Cmat, spec.didx_onehot)
+    p_d = breakend_cn_diff_marginals(spec, state)     # (J, M, Dn)
     Fj = spec.F[spec.be_orient01]                     # (J, M, Dn, B)
     contrib = -spec.transition_penalty * jnp.einsum('jmd,jmdb->jb', p_d, Fj)
     log_p = jax.ops.segment_sum(contrib, spec.be_k, num_segments=spec.K)
@@ -747,8 +863,6 @@ def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b):
     R = ll_tot_b.shape[0]
     frame_b = jax.vmap(functools.partial(_mix_framelogprob, spec))(
         params_b, state_b, ll_tot_b, ll_alle_b)
-    be_bank_b = jax.vmap(
-        lambda pb: breakend_tmats(spec, pb))(state_b.p_breakpoint)
 
     if spec.use_pallas and spec.chain_constraint is None:
         # restart-tiled Pallas kernel: restarts folded into lanes. The
@@ -757,13 +871,17 @@ def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b):
         # the per-(restart, junction)-DMA tiling.
         from remixt_tpu.ops import fb_pallas
         plan = spec.pallas_restart_plan(R)
+        be_exp_b = jax.vmap(lambda pb: breakend_tmats_exp(
+            spec, pb, pad_S=plan['Sp']))(state_b.p_breakpoint)
         run = (fb_pallas.forward_backward_chains_pallas_grouped
                if plan.get('grouped', False)
                else fb_pallas.forward_backward_chains_pallas_restarts)
         alphas, betas, log_norm = run(
-            frame_b, spec.static_bank, be_bank_b,
+            frame_b, spec.static_bank, be_exp_b,
             np.asarray(spec.chain_seg_map), spec.chain_last, plan)
     else:
+        be_bank_b = jax.vmap(
+            lambda pb: breakend_tmats(spec, pb))(state_b.p_breakpoint)
         alphas, betas, log_norm = fb_scan.forward_backward_chains_restarts(
             frame_b, spec.static_bank, be_bank_b, spec.restart_plan,
             np.asarray(spec.chain_seg_map), spec.chain_last)

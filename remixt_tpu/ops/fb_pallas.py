@@ -461,7 +461,7 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
       frame_tm, cls_plane, static_exp, be_exp)
 
 
-def forward_backward_chains_pallas(framelogprob, static_bank, be_bank,
+def forward_backward_chains_pallas(framelogprob, static_bank, be_exp_pad,
                                    chain_seg_map, chain_last, plan,
                                    interpret=False):
     """Drop-in replacement for fb_scan.forward_backward_chains on TPU/f32.
@@ -469,7 +469,10 @@ def forward_backward_chains_pallas(framelogprob, static_bank, be_bank,
     Args:
         framelogprob: (N, S) emission log probs
         static_bank: (num_static, S, S) static transition log-weights
-        be_bank: (J, S, S) breakend transition log-weights (current q(brk))
+        be_exp_pad: (J, Sp, Sp) breakend transition exp-weights for the
+            current q(brk), zero-padded to the plan's lane width (the
+            fused engine.breakend_tmats_exp output — building the bank in
+            exp space skips a full (J, S, S) log materialization)
         chain_seg_map: (Q, L) global segment index, N for pads
         chain_last: (Q,) last real position per chain
         plan: build_pallas_plan output
@@ -492,10 +495,11 @@ def forward_backward_chains_pallas(framelogprob, static_bank, be_bank,
     static_exp = jnp.zeros((static_bank.shape[0], Sp, Sp), dtype=jnp.float32)
     static_exp = static_exp.at[:, :S, :S].set(
         jnp.exp(static_bank).astype(jnp.float32))
-    J = be_bank.shape[0]
-    be_exp = jnp.zeros((max(J, 1), Sp, Sp), dtype=jnp.float32)
+    J = be_exp_pad.shape[0]
     if J:
-        be_exp = be_exp.at[:J, :S, :S].set(jnp.exp(be_bank).astype(jnp.float32))
+        be_exp = be_exp_pad.astype(jnp.float32)
+    else:
+        be_exp = jnp.zeros((1, Sp, Sp), dtype=jnp.float32)
 
     if SCALED_LINEAR:
         # scaled-linear kernel: stream exp(frame - fmax); the shift is a
@@ -588,7 +592,7 @@ def build_pallas_plan_restarts(chain_bank_idx_np, num_static_bank, Q, L, S,
                 num_restarts=R, Q=Q)
 
 
-def forward_backward_chains_pallas_restarts(frame_b, static_bank, be_bank_b,
+def forward_backward_chains_pallas_restarts(frame_b, static_bank, be_exp_b,
                                             chain_seg_map, chain_last, plan,
                                             interpret=False):
     """Restart-batched Pallas forward-backward: restarts tiled into lanes.
@@ -596,7 +600,8 @@ def forward_backward_chains_pallas_restarts(frame_b, static_bank, be_bank_b,
     Args:
         frame_b: (R, N, S) per-restart emission log probs
         static_bank: (num_static, S, S) shared log-weights
-        be_bank_b: (R, J, S, S) per-restart breakend log-weights
+        be_exp_b: (R, J, Sp, Sp) per-restart breakend exp-weights,
+            zero-padded to the plan's lane width
         plan: build_pallas_plan_restarts output
 
     Returns alphas (R, N, S), betas (R, N, S), log_norm (R,).
@@ -604,7 +609,7 @@ def forward_backward_chains_pallas_restarts(frame_b, static_bank, be_bank_b,
     R, N, S = frame_b.shape
     Q, L = chain_seg_map.shape
     Sp, RQp = plan['Sp'], plan['Qp']
-    J = be_bank_b.shape[1]
+    J = be_exp_b.shape[1]
 
     pad_row = jnp.zeros((R, 1, S), dtype=frame_b.dtype)
     frame_ext = jnp.concatenate([frame_b, pad_row], axis=1)
@@ -617,10 +622,10 @@ def forward_backward_chains_pallas_restarts(frame_b, static_bank, be_bank_b,
     static_exp = jnp.zeros((static_bank.shape[0], Sp, Sp), dtype=jnp.float32)
     static_exp = static_exp.at[:, :S, :S].set(
         jnp.exp(static_bank).astype(jnp.float32))
-    be_exp = jnp.zeros((max(R * J, 1), Sp, Sp), dtype=jnp.float32)
     if J:
-        be_exp = be_exp.at[:R * J, :S, :S].set(
-            jnp.exp(be_bank_b).astype(jnp.float32).reshape(R * J, S, S))
+        be_exp = be_exp_b.astype(jnp.float32).reshape(R * J, Sp, Sp)
+    else:
+        be_exp = jnp.zeros((1, Sp, Sp), dtype=jnp.float32)
 
     if SCALED_LINEAR:
         fmax = jnp.max(Ftp, axis=-1)                  # (L, RQp)
@@ -1109,7 +1114,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
       frame_tm, cls_plane, static_exp, be_exp_grouped)
 
 
-def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
+def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_exp_b,
                                            chain_seg_map, chain_last, plan,
                                            interpret=False):
     """Grouped restart-tiled Pallas forward-backward (chain-major lanes).
@@ -1119,7 +1124,7 @@ def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
     R, N, S = frame_b.shape
     Q, L = chain_seg_map.shape
     Sp, RQp = plan['Sp'], plan['Qp']
-    J = be_bank_b.shape[1]
+    J = be_exp_b.shape[1]
 
     pad_row = jnp.zeros((R, 1, S), dtype=frame_b.dtype)
     frame_ext = jnp.concatenate([frame_b, pad_row], axis=1)
@@ -1140,11 +1145,11 @@ def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_bank_b,
     # hardware at production scale (large streamed arrays + multi-GB
     # bank), while this flat layout is the restart-tiled kernel's proven
     # addressing pattern
-    be_exp = jnp.zeros((max(J, 1) * R, Sp, Sp), dtype=jnp.float32)
     if J:
-        be_exp = be_exp.at[:J * R, :S, :S].set(
-            jnp.exp(jnp.swapaxes(be_bank_b, 0, 1)).astype(
-                jnp.float32).reshape(J * R, S, S))
+        be_exp = jnp.swapaxes(be_exp_b.astype(jnp.float32), 0, 1).reshape(
+            J * R, Sp, Sp)
+    else:
+        be_exp = jnp.zeros((R, Sp, Sp), dtype=jnp.float32)
 
     if SCALED_LINEAR:
         fmax = jnp.max(Ftp, axis=-1)                  # (L, RQp)

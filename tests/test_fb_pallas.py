@@ -22,6 +22,15 @@ import jax.numpy as jnp
 from remixt_tpu.ops import fb_pallas, fb_scan
 
 
+def exp_pad(be_bank_log, J, Sp, S):
+    """exp'd, zero-padded breakend bank in the engine's kernel feed layout
+    (engine.breakend_tmats_exp output shape)."""
+    out = np.zeros((J,) + (Sp, Sp), dtype=np.float32)
+    if J:
+        out[:, :S, :S] = np.exp(np.asarray(be_bank_log)[:J])
+    return jnp.asarray(out)
+
+
 def build_problem(seed, chain_lengths, S=7, num_static=5, be_frac=0.25):
     """Random chain-batched FB problem in the engine's bank layout.
 
@@ -69,6 +78,7 @@ def build_problem(seed, chain_lengths, S=7, num_static=5, be_frac=0.25):
         framelogprob=jnp.asarray(framelogprob, dtype=jnp.float32),
         static_bank=jnp.asarray(static_bank, dtype=jnp.float32),
         be_bank=jnp.asarray(be_bank[:max(J, 1)], dtype=jnp.float32),
+        be_exp_pad=exp_pad(be_bank, J, plan['Sp'], S),
         full_bank=jnp.asarray(
             np.concatenate([static_bank, be_bank[:J]], axis=0)
             if J else static_bank, dtype=jnp.float32),
@@ -87,7 +97,8 @@ def run_both(problem):
         problem['chain_bank_idx'], problem['chain_seg_map'],
         problem['chain_last'])
     alphas, betas, log_norm = fb_pallas.forward_backward_chains_pallas(
-        problem['framelogprob'], problem['static_bank'], problem['be_bank'],
+        problem['framelogprob'], problem['static_bank'],
+        problem['be_exp_pad'],
         problem['chain_seg_map'], problem['chain_last'], problem['plan'],
         interpret=True)
     return ((np.asarray(alphas_ref), np.asarray(betas_ref),
@@ -210,8 +221,10 @@ def test_restart_tiled_kernel_matches_batched_scan():
     Q, L = problem['chain_seg_map'].shape
     plan = fb_pallas.build_pallas_plan_restarts(
         np.asarray(problem['chain_bank_idx']), num_static, Q, L, S, R, J)
+    be_exp_b = jnp.stack([exp_pad(be_bank_b[r], J, plan['Sp'], S)
+                          for r in range(R)])
     a, b, ln = fb_pallas.forward_backward_chains_pallas_restarts(
-        frame_b, problem['static_bank'], be_bank_b,
+        frame_b, problem['static_bank'], be_exp_b,
         np.asarray(problem['chain_seg_map']), problem['chain_last'], plan,
         interpret=True)
 
@@ -260,8 +273,10 @@ def test_grouped_restart_kernel_matches_batched_scan(
     Q, L = problem['chain_seg_map'].shape
     plan = fb_pallas.build_pallas_plan_restarts_grouped(
         np.asarray(problem['chain_bank_idx']), num_static, Q, L, S, R, J)
+    be_exp_b = jnp.stack([exp_pad(be_bank_b[r], J, plan['Sp'], S)
+                          for r in range(R)])
     a, b, ln = fb_pallas.forward_backward_chains_pallas_grouped(
-        frame_b, problem['static_bank'], be_bank_b,
+        frame_b, problem['static_bank'], be_exp_b,
         np.asarray(problem['chain_seg_map']), problem['chain_last'], plan,
         interpret=True)
 

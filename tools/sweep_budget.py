@@ -76,8 +76,9 @@ def main():
                 eng.update_p_cn_restarts, spec)),
                 (params, state, ll_tot, ll_alle)),
             'be_bank': (jax.jit(lambda s: jax.vmap(
-                lambda pb: eng.breakend_tmats(spec, pb))(s.p_breakpoint)),
-                (state,)),
+                lambda pb: eng.breakend_tmats_exp(
+                    spec, pb, pad_S=eng._sweep_exp_bank_pad(spec)))(
+                s.p_breakpoint)), (state,)),
             'p_breakpoint': (jax.jit(vm(eng.update_p_breakpoint)),
                              (params, state)),
             'p_outlier_total': (jax.jit(vm(eng.update_p_outlier_total)),
@@ -99,8 +100,9 @@ def main():
             'p_cn_chain': (jax.jit(functools.partial(
                 eng.update_p_cn, spec)),
                 (params, state, ll_tot, ll_alle)),
-            'be_bank': (jax.jit(lambda s: eng.breakend_tmats(
-                spec, s.p_breakpoint)), (state,)),
+            'be_bank': (jax.jit(lambda s: eng.breakend_tmats_exp(
+                spec, s.p_breakpoint,
+                pad_S=eng._sweep_exp_bank_pad(spec))), (state,)),
             'p_breakpoint': (jax.jit(functools.partial(
                 eng.update_p_breakpoint, spec)), (params, state)),
             'p_outlier_total': (jax.jit(functools.partial(
