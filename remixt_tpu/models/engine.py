@@ -704,7 +704,7 @@ def xi_transition_dots(spec, state):
     return dot_used, dot_cur
 
 
-def breakend_cn_diff_marginals(spec, state):
+def breakend_cn_diff_marginals(spec, state, exp_tm_used=None):
     """Per-breakend histogram of total-copy differences under the pairwise
     chain marginals, (J, M, Dn) — WITHOUT materializing xi.
 
@@ -725,9 +725,10 @@ def breakend_cn_diff_marginals(spec, state):
     finite (it then contributes a flat histogram, matching its vanishing
     posterior weight).
     """
-    exp_tm = breakend_tmats_exp(spec, state.p_breakpoint_used,
-                                pad_S=_sweep_exp_bank_pad(spec))
-    exp_tm = exp_tm[:, :spec.S, :spec.S]
+    if exp_tm_used is None:
+        exp_tm_used = breakend_tmats_exp(spec, state.p_breakpoint_used,
+                                         pad_S=_sweep_exp_bank_pad(spec))
+    exp_tm = exp_tm_used[:, :spec.S, :spec.S]
     # chain_scale = 0 encodes the construction-time zero bank (exp = 1)
     exp_tm = jnp.where(state.chain_scale > 0, exp_tm,
                        jnp.ones_like(exp_tm))
@@ -760,7 +761,10 @@ def update_p_allele_swap(spec, params, state, ll_alle):
     return state._replace(p_allele_swap=exp_normalize(log_p, axis=-1))
 
 
-def update_p_cn(spec, params, state, ll_tot, ll_alle):
+def update_p_cn(spec, params, state, ll_tot, ll_alle, be_exp=None):
+    """Chain update. ``be_exp`` optionally supplies the padded exp-space
+    breakend bank for ``state.p_breakpoint`` (the fused sweep builds it
+    once and shares it with the breakpoint update)."""
     frame = _mix_framelogprob(spec, params, state, ll_tot, ll_alle)
     if spec.num_chain_blocks > 1:
         # intra-chain blocked two-pass: a chain can span mesh devices
@@ -772,8 +776,9 @@ def update_p_cn(spec, params, state, ll_tot, ll_alle):
             block_constraint=spec.block_constraint)
     elif spec.use_pallas and spec.chain_constraint is None:
         from remixt_tpu.ops import fb_pallas
-        be_exp = breakend_tmats_exp(spec, state.p_breakpoint,
-                                    pad_S=spec.pallas_plan['Sp'])
+        if be_exp is None:
+            be_exp = breakend_tmats_exp(spec, state.p_breakpoint,
+                                        pad_S=spec.pallas_plan['Sp'])
         alphas, betas, log_norm = fb_pallas.forward_backward_chains_pallas(
             frame, spec.static_bank, be_exp,
             spec.chain_seg_map, spec.chain_last, spec.pallas_plan)
@@ -794,12 +799,16 @@ def update_p_cn(spec, params, state, ll_tot, ll_alle):
     )
 
 
-def update_p_breakpoint(spec, params, state):
+def update_p_breakpoint(spec, params, state, exp_tm_used=None):
     """q(brk) update from breakend pairwise marginals (bpmodel.pyx:964-985),
-    via the xi-free histogram contraction."""
+    via the xi-free histogram contraction.
+
+    ``exp_tm_used`` optionally supplies the exp-space breakend bank for
+    ``state.p_breakpoint_used`` — the fused sweep passes the bank its
+    chain update just built so it is constructed once per sweep."""
     if spec.K == 0:
         return state
-    p_d = breakend_cn_diff_marginals(spec, state)     # (J, M, Dn)
+    p_d = breakend_cn_diff_marginals(spec, state, exp_tm_used)  # (J, M, Dn)
     Fj = spec.F[spec.be_orient01]                     # (J, M, Dn, B)
     contrib = -spec.transition_penalty * jnp.einsum('jmd,jmdb->jb', p_d, Fj)
     log_p = jax.ops.segment_sum(contrib, spec.be_k, num_segments=spec.K)
@@ -823,8 +832,14 @@ def update_p_outlier_allele(spec, params, state, ll_alle):
 
 def _sweep_with_emissions(spec, params, state, ll_tot, ll_alle):
     state = update_p_allele_swap(spec, params, state, ll_alle)
-    state = update_p_cn(spec, params, state, ll_tot, ll_alle)
-    state = update_p_breakpoint(spec, params, state)
+    # one exp-space breakend bank per sweep, shared between the chain
+    # update (q(brk) potentials) and the breakpoint update (the chain ran
+    # under exactly these potentials, so p_breakpoint_used matches)
+    be_exp = (breakend_tmats_exp(spec, state.p_breakpoint,
+                                 pad_S=_sweep_exp_bank_pad(spec))
+              if spec.K else None)
+    state = update_p_cn(spec, params, state, ll_tot, ll_alle, be_exp=be_exp)
+    state = update_p_breakpoint(spec, params, state, exp_tm_used=be_exp)
     state = update_p_outlier_total(spec, params, state, ll_tot)
     state = update_p_outlier_allele(spec, params, state, ll_alle)
     return state
@@ -853,11 +868,29 @@ def variational_sweeps(spec, params, state, num_sweeps):
     return state
 
 
-def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b):
+def _restart_exp_bank(spec, state_b, plan):
+    """Restart-major exp-space breakend bank (R, J, Sp, Sp), shared by the
+    grouped kernel (which transposes to its junction-major slab layout —
+    one explicit pass) and the breakpoint update. Producing the bank
+    junction-major directly (vmap out_axes=1) was measured 21% SLOWER on
+    the batched sweep: the batched einsums then run against a transposed
+    layout everywhere, which XLA resolves with more data movement than
+    the single explicit transpose."""
+    return jax.vmap(
+        lambda pb: breakend_tmats_exp(spec, pb, pad_S=plan['Sp']))(
+        state_b.p_breakpoint)
+
+
+def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b,
+                         be_exp_b=None):
     """Restart-batched chain update: the elementwise mixing vmaps, the
     forward-backward runs through the dedicated restart-batched scan
     (fb_scan.forward_backward_chains_restarts) whose static transition
-    gather is shared across the restart axis."""
+    gather is shared across the restart axis.
+
+    ``be_exp_b`` optionally supplies the restart-major padded exp-space
+    breakend bank (the fused sweep shares one build with the breakpoint
+    update)."""
     import functools
 
     R = ll_tot_b.shape[0]
@@ -871,8 +904,8 @@ def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b):
         # the per-(restart, junction)-DMA tiling.
         from remixt_tpu.ops import fb_pallas
         plan = spec.pallas_restart_plan(R)
-        be_exp_b = jax.vmap(lambda pb: breakend_tmats_exp(
-            spec, pb, pad_S=plan['Sp']))(state_b.p_breakpoint)
+        if be_exp_b is None:
+            be_exp_b = _restart_exp_bank(spec, state_b, plan)
         run = (fb_pallas.forward_backward_chains_pallas_grouped
                if plan.get('grouped', False)
                else fb_pallas.forward_backward_chains_pallas_restarts)
@@ -898,13 +931,61 @@ def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b):
     )
 
 
+def update_p_breakpoint_restarts(spec, state_b, be_exp_b):
+    """Restart-batched q(brk) update consuming the sweep's shared
+    restart-major padded exp bank (R, J, Sp, Sp) — the batched form of
+    update_p_breakpoint's xi-free histogram contraction."""
+    if spec.K == 0:
+        return state_b
+    exp_tm = be_exp_b[:, :, :spec.S, :spec.S]             # (R, J, S, S)
+    exp_tm = jnp.where(state_b.chain_scale[:, None, None, None] > 0,
+                       exp_tm, jnp.ones_like(exp_tm))
+    n = spec.be_n
+    a = state_b.alphas[:, n]                              # (R, J, S)
+    fb = state_b.framelogprob[:, n + 1] + state_b.betas[:, n + 1]
+    u_a = jnp.exp(a - jnp.max(a, axis=-1, keepdims=True))
+    u_fb = jnp.exp(fb - jnp.max(fb, axis=-1, keepdims=True))
+    E1 = spec.Ecls[spec.be_c1]                            # (J, M, S, T)
+    E2 = spec.Ecls[spec.be_c2]
+    left = E1[None] * u_a[:, :, None, :, None]            # (R, J, M, S, T)
+    right = E2[None] * u_fb[:, :, None, :, None]
+    mid = jnp.einsum('rjsz,rjmzu->rjmsu', exp_tm, right,
+                     precision=MM_PRECISION)
+    Cmat = jnp.einsum('rjmst,rjmsu->rjmtu', left, mid,
+                      precision=MM_PRECISION)             # (R, J, M, T, T)
+    denom = jnp.sum(Cmat[:, :, 0], axis=(-2, -1))         # (R, J)
+    denom = jnp.maximum(denom, jnp.finfo(Cmat.dtype).tiny)
+    p_d = jnp.einsum('rjmtu,tud->rjmd', Cmat, spec.didx_onehot)
+    p_d = p_d / denom[:, :, None, None]
+    Fj = spec.F[spec.be_orient01]                         # (J, M, Dn, B)
+    contrib = -spec.transition_penalty * jnp.einsum(
+        'rjmd,jmdb->rjb', p_d, Fj)
+    log_p = jax.vmap(lambda c: jax.ops.segment_sum(
+        c, spec.be_k, num_segments=spec.K))(contrib)
+    return state_b._replace(p_breakpoint=exp_normalize(log_p, axis=-1))
+
+
 def _sweep_restarts_with_emissions(spec, params_b, state_b, ll_tot, ll_alle):
     import functools
 
     vm = lambda f: jax.vmap(functools.partial(f, spec))
     state_b = vm(update_p_allele_swap)(params_b, state_b, ll_alle)
-    state_b = update_p_cn_restarts(spec, params_b, state_b, ll_tot, ll_alle)
-    state_b = vm(update_p_breakpoint)(params_b, state_b)
+
+    # one restart-major padded exp bank per sweep on the Pallas path,
+    # shared between the chain and breakpoint updates (see
+    # _sweep_with_emissions)
+    be_exp_b = None
+    if (spec.K and spec.use_pallas and spec.chain_constraint is None
+            and spec.num_chain_blocks == 1):
+        plan = spec.pallas_restart_plan(ll_tot.shape[0])
+        be_exp_b = _restart_exp_bank(spec, state_b, plan)
+
+    state_b = update_p_cn_restarts(spec, params_b, state_b, ll_tot, ll_alle,
+                                   be_exp_b=be_exp_b)
+    if be_exp_b is not None:
+        state_b = update_p_breakpoint_restarts(spec, state_b, be_exp_b)
+    else:
+        state_b = vm(update_p_breakpoint)(params_b, state_b)
     state_b = vm(update_p_outlier_total)(params_b, state_b, ll_tot)
     state_b = vm(update_p_outlier_allele)(params_b, state_b, ll_alle)
     return state_b

@@ -1119,7 +1119,13 @@ def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_exp_b,
                                            interpret=False):
     """Grouped restart-tiled Pallas forward-backward (chain-major lanes).
 
-    Same contract as forward_backward_chains_pallas_restarts.
+    Same contract as forward_backward_chains_pallas_restarts: the
+    breakend bank arrives restart-major (R, J, Sp, Sp), already padded
+    (engine._restart_exp_bank); the one explicit transpose below puts it
+    in the kernel's junction-major slab layout. (Producing it
+    junction-major at the source measured 21% slower end to end — the
+    batched einsums against the transposed layout cost more than this
+    single pass.)
     """
     R, N, S = frame_b.shape
     Q, L = chain_seg_map.shape
@@ -1144,7 +1150,7 @@ def forward_backward_chains_pallas_grouped(frame_b, static_bank, be_exp_b,
     # [j*R, (j+1)*R): a 4D (J, R, Sp, Sp) ANY-space ref faults on
     # hardware at production scale (large streamed arrays + multi-GB
     # bank), while this flat layout is the restart-tiled kernel's proven
-    # addressing pattern
+    # addressing pattern.
     if J:
         be_exp = jnp.swapaxes(be_exp_b.astype(jnp.float32), 0, 1).reshape(
             J * R, Sp, Sp)
