@@ -618,6 +618,28 @@ def breakend_tmats(spec, p_breakpoint):
     return -spec.transition_penalty * tot + spec.A[spec.be_c1, spec.be_c2]
 
 
+def _padded_bank_tables(spec, pad_S):
+    """Zero-padded one-hot/consistency tables for the padded bank build:
+    Ecls (C, M, pad_S, T) and expA (C, C, pad_S, pad_S) with ZERO pad
+    rows/columns, cached per pad width."""
+    cache = getattr(spec, '_padded_tables', None)
+    if cache is None:
+        cache = spec._padded_tables = {}
+    if pad_S not in cache:
+        # cache NUMPY values: anything built through jnp during a trace
+        # (first use is typically inside a jitted sweep) is a tracer and
+        # would leak into later jits
+        pad = pad_S - spec.S
+        cache[pad_S] = (
+            np.pad(np.asarray(spec.Ecls),
+                   ((0, 0), (0, 0), (0, pad), (0, 0))),
+            np.pad(np.asarray(spec.expA),
+                   ((0, 0), (0, 0), (0, pad), (0, pad))))
+    Ecls_p, expA_p = cache[pad_S]
+    return (jnp.asarray(Ecls_p, dtype=spec.dtype),
+            jnp.asarray(expA_p, dtype=spec.dtype))
+
+
 def breakend_tmats_exp(spec, p_breakpoint, pad_S=None):
     """exp-space breakend transition weights, (J, pad_S or S, pad_S or S).
 
@@ -625,20 +647,31 @@ def breakend_tmats_exp(spec, p_breakpoint, pad_S=None):
     einsum's output — the log bank (J, S, S) is never materialized, which
     on the whole-genome problem removes several GB of HBM traffic per VI
     sweep (the bank build was the sweep's largest component,
-    SWEEP_BUDGET.json). With ``pad_S`` the result is zero-padded to the
-    Pallas lane layout so the kernel wrappers skip their pad copy and the
-    breakpoint update shares the same tensor via CSE.
+    SWEEP_BUDGET.json). With ``pad_S`` the bank comes out ALREADY padded
+    to the Pallas lane layout: the one-hot planes and expA are
+    zero-padded, so the tot einsum writes pad rows/cols as 0 and the
+    zero-padded expA forces exp(0)·0 = 0 there — no separate (J, Sp, Sp)
+    pad pass exists (measured 16% of the sweep's device time as an HLO
+    ``pad``), at ~17% more einsum FLOPs.
     """
     S = spec.S
     if spec.J == 0:
         P = pad_S or S
         return jnp.zeros((0, P, P), dtype=spec.dtype)
-    tot = breakend_tot_expectation(spec, p_breakpoint)
-    exp_tm = (jnp.exp(-spec.transition_penalty * tot)
-              * spec.expA[spec.be_c1, spec.be_c2])
     if pad_S is None or pad_S == S:
-        return exp_tm
-    return jnp.pad(exp_tm, ((0, 0), (0, pad_S - S), (0, pad_S - S)))
+        tot = breakend_tot_expectation(spec, p_breakpoint)
+        return (jnp.exp(-spec.transition_penalty * tot)
+                * spec.expA[spec.be_c1, spec.be_c2])
+    Ecls_p, expA_p = _padded_bank_tables(spec, pad_S)
+    pj = p_breakpoint[spec.be_k]                      # (J, B)
+    Fj = spec.F[spec.be_orient01]                     # (J, M, Dn, B)
+    w = jnp.einsum('jb,jmdb->jmd', pj, Fj)            # (J, M, Dn)
+    Wmat = w[:, :, spec.dsel]                         # (J, M, T, T)
+    E1 = Ecls_p[spec.be_c1]                           # (J, M, Sp, T)
+    E2 = Ecls_p[spec.be_c2]
+    tot = jnp.einsum('jmst,jmtu,jmzu->jsz', E1, Wmat, E2)
+    return (jnp.exp(-spec.transition_penalty * tot)
+            * expA_p[spec.be_c1, spec.be_c2])
 
 
 def _sweep_exp_bank_pad(spec):
@@ -728,10 +761,15 @@ def breakend_cn_diff_marginals(spec, state, exp_tm_used=None):
     if exp_tm_used is None:
         exp_tm_used = breakend_tmats_exp(spec, state.p_breakpoint_used,
                                          pad_S=_sweep_exp_bank_pad(spec))
+        # chain_scale = 0 encodes the construction-time zero bank
+        # (exp = 1). The select is a full (J, S, S) materialization pass
+        # (measured 23% of the sweep's device time), so callers that
+        # guarantee a prior chain update — the fused sweeps, whose
+        # update order runs the chain first (cn_model.py:444-460) —
+        # pass the bank explicitly and skip it.
+        exp_tm_used = jnp.where(state.chain_scale > 0, exp_tm_used,
+                                jnp.ones_like(exp_tm_used))
     exp_tm = exp_tm_used[:, :spec.S, :spec.S]
-    # chain_scale = 0 encodes the construction-time zero bank (exp = 1)
-    exp_tm = jnp.where(state.chain_scale > 0, exp_tm,
-                       jnp.ones_like(exp_tm))
     n = spec.be_n
     a = state.alphas[n]                                   # (J, S)
     fb = state.framelogprob[n + 1] + state.betas[n + 1]   # (J, S)
@@ -934,12 +972,14 @@ def update_p_cn_restarts(spec, params_b, state_b, ll_tot_b, ll_alle_b,
 def update_p_breakpoint_restarts(spec, state_b, be_exp_b):
     """Restart-batched q(brk) update consuming the sweep's shared
     restart-major padded exp bank (R, J, Sp, Sp) — the batched form of
-    update_p_breakpoint's xi-free histogram contraction."""
+    update_p_breakpoint's xi-free histogram contraction.
+
+    Contract: ``be_exp_b`` is the bank the chain update in the SAME
+    sweep just ran under (chain_scale is 1 and p_breakpoint_used matches
+    by construction), so no construction-state select is applied."""
     if spec.K == 0:
         return state_b
     exp_tm = be_exp_b[:, :, :spec.S, :spec.S]             # (R, J, S, S)
-    exp_tm = jnp.where(state_b.chain_scale[:, None, None, None] > 0,
-                       exp_tm, jnp.ones_like(exp_tm))
     n = spec.be_n
     a = state_b.alphas[:, n]                              # (R, J, S)
     fb = state_b.framelogprob[:, n + 1] + state_b.betas[:, n + 1]
