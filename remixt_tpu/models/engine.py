@@ -455,7 +455,13 @@ def _emission_row_arrays(spec, params, idx=None):
 
 
 def _total_emission_rows(spec, params, rows):
-    """ll_total (n, S, 2): negative binomial over total read counts.
+    """ll_total (2, n, S), COMPONENT-MAJOR: negative binomial over total
+    read counts per outlier component u.
+
+    Component-major layout keeps (n, S) as the minor dims — a trailing
+    component axis tiles each (2,)-vector into a full (8, 128) TPU tile,
+    and the emission materialization then ran at 22 GB/s effective
+    (the largest op in the sweep trace).
 
     Double-where guard: masked segments and degenerate zero-mean lanes
     (zero-length dummy segments) contribute exactly 0 and cannot poison
@@ -492,12 +498,14 @@ def _total_emission_rows(spec, params, rows):
         ll = (lg_xr - lg_x1 - lg_r
               + xc * jnp.log(nb_p) + r * jnp.log1p(-nb_p))
         lls.append(jnp.where(zero_tot, 0.0, ll))
-    return jnp.stack(lls, axis=-1)
+    return jnp.stack(lls, axis=0)
 
 
 def _allele_emission_rows(spec, params, rows):
-    """ll_allele (n, S, 2, 2): beta-binomial over minor-allele counts with
-    the hdel/LOH overrides (parity: bpmodel.pyx:809-853)."""
+    """ll_allele (4, n, S), COMPONENT-MAJOR (k = v·2 + w for outlier
+    component v and swap w): beta-binomial over minor-allele counts with
+    the hdel/LOH overrides (parity: bpmodel.pyx:809-853). See
+    _total_emission_rows for why the component axis leads."""
     cls = rows['seg_class']
     n = cls.shape[0]
     depth_total = jnp.einsum('csm,m->cs', spec.class_total_f(), params.h)[cls]
@@ -548,7 +556,7 @@ def _allele_emission_rows(spec, params, rows):
                   + lgamma(k + Mp) + lgamma(tr - k + Mq)
                   - lg_trM - lg_Mp - lg_Mq + lg_M)
             lls[v * 2 + w] = jnp.where(zero, 0.0, ll)
-    return jnp.stack(lls, axis=-1).reshape(n, spec.S, 2, 2)
+    return jnp.stack(lls, axis=0)
 
 
 def _emission_tensors_rows(spec, params, rows):
@@ -570,10 +578,16 @@ def log_prior_cn(spec, params):
             * spec.l[:, None] * params.divergence_weight)
 
 
+def _allele_mix_weights(state):
+    """(n, 4) outlier×swap mixture weights, k = v·2 + w."""
+    w4 = jnp.einsum('nv,nw->nvw', state.p_outlier_allele,
+                    state.p_allele_swap)
+    return w4.reshape(w4.shape[0], 4)
+
+
 def _mix_framelogprob(spec, params, state, ll_tot, ll_alle):
-    frame = jnp.einsum('nsu,nu->ns', ll_tot, state.p_outlier_total)
-    frame += jnp.einsum('nsvw,nv,nw->ns', ll_alle,
-                        state.p_outlier_allele, state.p_allele_swap)
+    frame = jnp.einsum('uns,nu->ns', ll_tot, state.p_outlier_total)
+    frame += jnp.einsum('kns,nk->ns', ll_alle, _allele_mix_weights(state))
     frame += log_prior_cn(spec, params)
     return frame
 
@@ -762,24 +776,35 @@ def breakend_cn_diff_marginals(spec, state, exp_tm_used=None):
         exp_tm_used = breakend_tmats_exp(spec, state.p_breakpoint_used,
                                          pad_S=_sweep_exp_bank_pad(spec))
         # chain_scale = 0 encodes the construction-time zero bank
-        # (exp = 1). The select is a full (J, S, S) materialization pass
-        # (measured 23% of the sweep's device time), so callers that
-        # guarantee a prior chain update — the fused sweeps, whose
-        # update order runs the chain first (cn_model.py:444-460) —
-        # pass the bank explicitly and skip it.
+        # (exp = 1). The select is a full (J, S, S) materialization
+        # pass, so callers that guarantee a prior chain update — the
+        # fused sweeps, whose update order runs the chain first
+        # (cn_model.py:444-460) — pass the bank explicitly and skip it.
         exp_tm_used = jnp.where(state.chain_scale > 0, exp_tm_used,
                                 jnp.ones_like(exp_tm_used))
-    exp_tm = exp_tm_used[:, :spec.S, :spec.S]
+    # contract at the bank's (possibly padded) width: bank pad rows/cols
+    # and one-hot pad rows are zero, so padding is exact — slicing the
+    # bank back to (S, S) was a full unfused materialization pass
+    # (measured 15% of the batched sweep's device time)
+    P = exp_tm_used.shape[-1]
+    if P == spec.S:
+        Ecls = spec.Ecls
+    else:
+        Ecls, _ = _padded_bank_tables(spec, P)
+    pad = P - spec.S
     n = spec.be_n
     a = state.alphas[n]                                   # (J, S)
     fb = state.framelogprob[n + 1] + state.betas[n + 1]   # (J, S)
     u_a = jnp.exp(a - jnp.max(a, axis=-1, keepdims=True))
     u_fb = jnp.exp(fb - jnp.max(fb, axis=-1, keepdims=True))
-    E1 = spec.Ecls[spec.be_c1]                            # (J, M, S, T)
-    E2 = spec.Ecls[spec.be_c2]
-    left = E1 * u_a[:, None, :, None]                     # (J, M, S, T)
+    if pad:
+        u_a = jnp.pad(u_a, ((0, 0), (0, pad)))
+        u_fb = jnp.pad(u_fb, ((0, 0), (0, pad)))
+    E1 = Ecls[spec.be_c1]                                 # (J, M, P, T)
+    E2 = Ecls[spec.be_c2]
+    left = E1 * u_a[:, None, :, None]                     # (J, M, P, T)
     right = E2 * u_fb[:, None, :, None]
-    mid = jnp.einsum('jsz,jmzu->jmsu', exp_tm, right,
+    mid = jnp.einsum('jsz,jmzu->jmsu', exp_tm_used, right,
                      precision=MM_PRECISION)
     Cmat = jnp.einsum('jmst,jmsu->jmtu', left, mid,
                       precision=MM_PRECISION)             # (J, M, T, T)
@@ -794,8 +819,9 @@ def breakend_cn_diff_marginals(spec, state, exp_tm_used=None):
 # ===========================================================================
 
 def update_p_allele_swap(spec, params, state, ll_alle):
-    log_p = jnp.einsum('ns,nv,nsvw->nw', state.posterior_marginals,
-                       state.p_outlier_allele, ll_alle)
+    t4 = jnp.einsum('kns,ns->nk', ll_alle,
+                    state.posterior_marginals).reshape(-1, 2, 2)
+    log_p = jnp.einsum('nvw,nv->nw', t4, state.p_outlier_allele)
     return state._replace(p_allele_swap=exp_normalize(log_p, axis=-1))
 
 
@@ -854,15 +880,16 @@ def update_p_breakpoint(spec, params, state, exp_tm_used=None):
 
 
 def update_p_outlier_total(spec, params, state, ll_tot):
-    log_p = jnp.einsum('ns,nsu->nu', state.posterior_marginals, ll_tot)
+    log_p = jnp.einsum('ns,uns->nu', state.posterior_marginals, ll_tot)
     prior = jnp.log(jnp.asarray(
         [1.0 - spec.prior_outlier_total, spec.prior_outlier_total], dtype=log_p.dtype))
     return state._replace(p_outlier_total=exp_normalize(log_p + prior[None, :], axis=-1))
 
 
 def update_p_outlier_allele(spec, params, state, ll_alle):
-    log_p = jnp.einsum('ns,nw,nsvw->nv', state.posterior_marginals,
-                       state.p_allele_swap, ll_alle)
+    t4 = jnp.einsum('kns,ns->nk', ll_alle,
+                    state.posterior_marginals).reshape(-1, 2, 2)
+    log_p = jnp.einsum('nvw,nw->nv', t4, state.p_allele_swap)
     prior = jnp.log(jnp.asarray(
         [1.0 - spec.prior_outlier_allele, spec.prior_outlier_allele], dtype=log_p.dtype))
     return state._replace(p_outlier_allele=exp_normalize(log_p + prior[None, :], axis=-1))
@@ -976,20 +1003,30 @@ def update_p_breakpoint_restarts(spec, state_b, be_exp_b):
 
     Contract: ``be_exp_b`` is the bank the chain update in the SAME
     sweep just ran under (chain_scale is 1 and p_breakpoint_used matches
-    by construction), so no construction-state select is applied."""
+    by construction), so no construction-state select is applied. The
+    contraction runs at the bank's padded width (pads are zero — exact),
+    never slicing the bank back to (S, S)."""
     if spec.K == 0:
         return state_b
-    exp_tm = be_exp_b[:, :, :spec.S, :spec.S]             # (R, J, S, S)
+    P = be_exp_b.shape[-1]
+    if P == spec.S:
+        Ecls = spec.Ecls
+    else:
+        Ecls, _ = _padded_bank_tables(spec, P)
+    pad = P - spec.S
     n = spec.be_n
     a = state_b.alphas[:, n]                              # (R, J, S)
     fb = state_b.framelogprob[:, n + 1] + state_b.betas[:, n + 1]
     u_a = jnp.exp(a - jnp.max(a, axis=-1, keepdims=True))
     u_fb = jnp.exp(fb - jnp.max(fb, axis=-1, keepdims=True))
-    E1 = spec.Ecls[spec.be_c1]                            # (J, M, S, T)
-    E2 = spec.Ecls[spec.be_c2]
-    left = E1[None] * u_a[:, :, None, :, None]            # (R, J, M, S, T)
+    if pad:
+        u_a = jnp.pad(u_a, ((0, 0), (0, 0), (0, pad)))
+        u_fb = jnp.pad(u_fb, ((0, 0), (0, 0), (0, pad)))
+    E1 = Ecls[spec.be_c1]                                 # (J, M, P, T)
+    E2 = Ecls[spec.be_c2]
+    left = E1[None] * u_a[:, :, None, :, None]            # (R, J, M, P, T)
     right = E2[None] * u_fb[:, :, None, :, None]
-    mid = jnp.einsum('rjsz,rjmzu->rjmsu', exp_tm, right,
+    mid = jnp.einsum('rjsz,rjmzu->rjmsu', be_exp_b, right,
                      precision=MM_PRECISION)
     Cmat = jnp.einsum('rjmst,rjmsu->rjmtu', left, mid,
                       precision=MM_PRECISION)             # (R, J, M, T, T)
@@ -1103,11 +1140,10 @@ def calculate_elbo(spec, params, state):
     differ only at breakend pairs, so the energy term is the entropy term
     plus a breakend-only correction."""
     ll_tot, ll_alle = emission_tensors(spec, params)
-    ll_total_half = jnp.einsum('ns,nu,nsu->', state.posterior_marginals,
+    ll_total_half = jnp.einsum('ns,nu,uns->', state.posterior_marginals,
                                state.p_outlier_total, ll_tot)
-    ll_allele_half = jnp.einsum('ns,nv,nw,nsvw->', state.posterior_marginals,
-                                state.p_outlier_allele, state.p_allele_swap,
-                                ll_alle)
+    ll_allele_half = jnp.einsum('ns,nk,kns->', state.posterior_marginals,
+                                _allele_mix_weights(state), ll_alle)
     return calculate_elbo_from_halves(
         spec, params, state, ll_total_half, ll_allele_half)
 
@@ -1118,10 +1154,10 @@ def expected_log_likelihood(spec, params, state, sample=None):
     ll_tot, ll_alle = emission_tensors(spec, params)
     if sample is None:
         sample = jnp.ones(spec.N, dtype=ll_tot.dtype)
-    energy = jnp.einsum('n,ns,nu,nsu->', sample, state.posterior_marginals,
+    energy = jnp.einsum('n,ns,nu,uns->', sample, state.posterior_marginals,
                         state.p_outlier_total, ll_tot)
-    energy += jnp.einsum('n,ns,nv,nw,nsvw->', sample, state.posterior_marginals,
-                         state.p_outlier_allele, state.p_allele_swap, ll_alle)
+    energy += jnp.einsum('n,ns,nk,kns->', sample, state.posterior_marginals,
+                         _allele_mix_weights(state), ll_alle)
     return energy
 
 
@@ -1134,25 +1170,25 @@ def expected_log_likelihood_halves(spec, params, state):
     rows = _emission_row_arrays(spec, params)
     ll_tot = _total_emission_rows(spec, params, rows)
     ll_alle = _allele_emission_rows(spec, params, rows)
-    total = jnp.einsum('ns,nu,nsu->', state.posterior_marginals,
+    total = jnp.einsum('ns,nu,uns->', state.posterior_marginals,
                        state.p_outlier_total, ll_tot)
-    allele = jnp.einsum('ns,nv,nw,nsvw->', state.posterior_marginals,
-                        state.p_outlier_allele, state.p_allele_swap, ll_alle)
+    allele = jnp.einsum('ns,nk,kns->', state.posterior_marginals,
+                        _allele_mix_weights(state), ll_alle)
     return total, allele
 
 
 def expected_log_likelihood_total_half(spec, params, state):
     rows = _emission_row_arrays(spec, params)
     ll_tot = _total_emission_rows(spec, params, rows)
-    return jnp.einsum('ns,nu,nsu->', state.posterior_marginals,
+    return jnp.einsum('ns,nu,uns->', state.posterior_marginals,
                       state.p_outlier_total, ll_tot)
 
 
 def expected_log_likelihood_allele_half(spec, params, state):
     rows = _emission_row_arrays(spec, params)
     ll_alle = _allele_emission_rows(spec, params, rows)
-    return jnp.einsum('ns,nv,nw,nsvw->', state.posterior_marginals,
-                      state.p_outlier_allele, state.p_allele_swap, ll_alle)
+    return jnp.einsum('ns,nk,kns->', state.posterior_marginals,
+                      _allele_mix_weights(state), ll_alle)
 
 
 def expected_log_likelihood_indexed(spec, params, state, idx):
@@ -1167,8 +1203,9 @@ def expected_log_likelihood_indexed(spec, params, state, idx):
     out_tot = jnp.take(state.p_outlier_total, idx, axis=0)
     out_alle = jnp.take(state.p_outlier_allele, idx, axis=0)
     swap = jnp.take(state.p_allele_swap, idx, axis=0)
-    energy = jnp.einsum('ns,nu,nsu->', marg, out_tot, ll_tot)
-    energy += jnp.einsum('ns,nv,nw,nsvw->', marg, out_alle, swap, ll_alle)
+    energy = jnp.einsum('ns,nu,uns->', marg, out_tot, ll_tot)
+    w4 = jnp.einsum('nv,nw->nvw', out_alle, swap).reshape(-1, 4)
+    energy += jnp.einsum('ns,nk,kns->', marg, w4, ll_alle)
     return energy
 
 
