@@ -243,41 +243,49 @@ def update_h_fused(spec, params, state, rng):
     return params, accept
 
 
+# which emission components each scalar parameter touches: half 'total'
+# components are the outlier planes u ∈ {0, 1}; half 'allele' components
+# are k = v·2 + w ∈ {0..3}. Accept/reject recomputes ONLY these planes —
+# the untouched components' contractions are unchanged by construction
+# and cancel from the comparison (cn_model.py:563-569 semantics at a
+# fraction of the lgamma cost).
+PARAM_COMPONENTS = {
+    'negbin_r_0': ('total', (0,)),
+    'negbin_r_1': ('total', (1,)),
+    'negbin_hdel_mu': ('total', (0, 1)),
+    'negbin_hdel_r_0': ('total', (0,)),
+    'negbin_hdel_r_1': ('total', (1,)),
+    'betabin_M_0': ('allele', (0, 1)),
+    'betabin_M_1': ('allele', (2, 3)),
+    'betabin_loh_p': ('allele', (0, 1, 2, 3)),
+    'betabin_loh_M_0': ('allele', (0, 1)),
+    'betabin_loh_M_1': ('allele', (2, 3)),
+}
+
+
 def _make_params_update(spec, names, bounds):
     """The raw in-graph update of all scalar likelihood parameters:
     per-parameter 3-level batched grid zoom on its subsample plus full-data
     accept/reject, sequentially in-graph (brute-replacement,
-    cn_model.py:533-569)."""
+    cn_model.py:533-569). The full-data guard tracks per-COMPONENT running
+    contractions and re-evaluates only the emission planes the parameter
+    touches (PARAM_COMPONENTS)."""
     levels = GRID_LEVELS
     points = GRID_POINTS
     grid01 = jnp.linspace(0.0, 1.0, points)
 
-    # each scalar parameter touches only one emission half; accept/reject
-    # compares the affected half against a running value (the other half
-    # cancels), so full-genome evaluation happens once per half per call
-    # plus once per candidate
-    param_half = {
-        'negbin_r_0': 'total', 'negbin_r_1': 'total',
-        'negbin_hdel_mu': 'total', 'negbin_hdel_r_0': 'total',
-        'negbin_hdel_r_1': 'total',
-        'betabin_M_0': 'allele', 'betabin_M_1': 'allele',
-        'betabin_loh_p': 'allele', 'betabin_loh_M_0': 'allele',
-        'betabin_loh_M_1': 'allele',
-    }
-    half_fns = {
-        'total': eng.expected_log_likelihood_total_half,
-        'allele': eng.expected_log_likelihood_allele_half,
-    }
-
     def f(params, state, sample_idxs):
-        running = {
-            half: half_fns[half](spec, params, state)
-            for half in ('total', 'allele')}
+        running = {}
+        for half, n_comp in (('total', 2), ('allele', 4)):
+            vals = eng.expected_log_likelihood_components(
+                spec, params, state, half, tuple(range(n_comp)))
+            for c, v in zip(range(n_comp), vals):
+                running[(half, c)] = v
         accepts = []
         for i, name in enumerate(names):
             lo_c, hi_c = bounds[name]
             sub_idx = sample_idxs[i]
-            half = param_half[name]
+            half, comps = PARAM_COMPONENTS[name]
 
             def level(carry, _, name=name, lo_c=lo_c, hi_c=hi_c,
                       sub_idx=sub_idx, params=params):
@@ -301,19 +309,25 @@ def _make_params_update(spec, names, bounds):
                     getattr(params, name))
             (_, _, best), _ = jax.lax.scan(level, init, None, length=levels)
 
-            cand_val = half_fns[half](
-                spec, params._replace(**{name: best}), state)
-            accept = cand_val >= running[half]
+            cand_vals = eng.expected_log_likelihood_components(
+                spec, params._replace(**{name: best}), state, half, comps)
+            cand_sum = sum(cand_vals)
+            run_sum = sum(running[(half, c)] for c in comps)
+            accept = cand_sum >= run_sum
             new_val = jnp.where(accept, best, getattr(params, name))
             params = params._replace(**{name: new_val})
-            running[half] = jnp.where(accept, cand_val, running[half])
+            for c, v in zip(comps, cand_vals):
+                running[(half, c)] = jnp.where(accept, v, running[(half, c)])
             accepts.append(accept)
-        # the running halves are exactly the ELBO's two emission
+        # the running components sum to exactly the ELBO's two emission
         # contractions for the final params — assembling the iteration's
         # ELBO here costs only the state-only terms and saves the fit
         # loop a separate full-emission ELBO dispatch
         elbo = eng.calculate_elbo_from_halves(
-            spec, params, state, running['total'], running['allele'])
+            spec, params, state,
+            running[('total', 0)] + running[('total', 1)],
+            running[('allele', 0)] + running[('allele', 1)]
+            + running[('allele', 2)] + running[('allele', 3)])
         return params, jnp.stack(accepts), elbo
 
     return f

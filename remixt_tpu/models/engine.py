@@ -454,14 +454,17 @@ def _emission_row_arrays(spec, params, idx=None):
     )
 
 
-def _total_emission_rows(spec, params, rows):
-    """ll_total (2, n, S), COMPONENT-MAJOR: negative binomial over total
-    read counts per outlier component u.
+def _total_emission_plane(spec, params, rows, u):
+    """One outlier component's (n, S) negative-binomial plane.
 
-    Component-major layout keeps (n, S) as the minor dims — a trailing
+    Per-plane form so M-step accept/reject can evaluate only the planes
+    a parameter touches; the stacked ll_total (2, n, S) is
+    COMPONENT-MAJOR, keeping (n, S) as the tiled minor dims — a trailing
     component axis tiles each (2,)-vector into a full (8, 128) TPU tile,
     and the emission materialization then ran at 22 GB/s effective
-    (the largest op in the sweep trace).
+    (the largest op in the sweep trace). Shared subexpressions across
+    planes (mu, masks, count lgammas) are deduplicated by XLA CSE when
+    both planes appear in one jit.
 
     Double-where guard: masked segments and degenerate zero-mean lanes
     (zero-length dummy segments) contribute exactly 0 and cannot poison
@@ -487,27 +490,32 @@ def _total_emission_rows(spec, params, rows):
     xc = x[:, None]
     lg_x1 = lgamma(x + 1.0)[:, None]                       # (n, 1)
 
-    lls = []
-    for r_plain, r_hdel in ((params.negbin_r_0, params.negbin_hdel_r_0),
-                            (params.negbin_r_1, params.negbin_hdel_r_1)):
-        r = jnp.where(hdel, r_hdel, r_plain)
-        nb_p = mu_safe / (r + mu_safe)
-        nb_p = jnp.where((nb_p < 0.0) | (nb_p > 1.0), 0.5, nb_p)
-        lg_xr = jnp.where(hdel, lgamma(xc + r_hdel), lgamma(xc + r_plain))
-        lg_r = jnp.where(hdel, lgamma(r_hdel), lgamma(r_plain))
-        ll = (lg_xr - lg_x1 - lg_r
-              + xc * jnp.log(nb_p) + r * jnp.log1p(-nb_p))
-        lls.append(jnp.where(zero_tot, 0.0, ll))
-    return jnp.stack(lls, axis=0)
+    r_plain, r_hdel = (
+        (params.negbin_r_0, params.negbin_hdel_r_0),
+        (params.negbin_r_1, params.negbin_hdel_r_1))[u]
+    r = jnp.where(hdel, r_hdel, r_plain)
+    nb_p = mu_safe / (r + mu_safe)
+    nb_p = jnp.where((nb_p < 0.0) | (nb_p > 1.0), 0.5, nb_p)
+    lg_xr = jnp.where(hdel, lgamma(xc + r_hdel), lgamma(xc + r_plain))
+    lg_r = jnp.where(hdel, lgamma(r_hdel), lgamma(r_plain))
+    ll = (lg_xr - lg_x1 - lg_r
+          + xc * jnp.log(nb_p) + r * jnp.log1p(-nb_p))
+    return jnp.where(zero_tot, 0.0, ll)
 
 
-def _allele_emission_rows(spec, params, rows):
-    """ll_allele (4, n, S), COMPONENT-MAJOR (k = v·2 + w for outlier
-    component v and swap w): beta-binomial over minor-allele counts with
-    the hdel/LOH overrides (parity: bpmodel.pyx:809-853). See
-    _total_emission_rows for why the component axis leads."""
+def _total_emission_rows(spec, params, rows):
+    """ll_total (2, n, S), component-major (see _total_emission_plane)."""
+    return jnp.stack([_total_emission_plane(spec, params, rows, u)
+                      for u in range(2)], axis=0)
+
+
+def _allele_emission_plane(spec, params, rows, k):
+    """One (outlier v, swap w) component's (n, S) beta-binomial plane,
+    k = v·2 + w: minor-allele counts with the hdel/LOH overrides
+    (parity: bpmodel.pyx:809-853). Per-plane form for the M-step's
+    component-level accept/reject; see _total_emission_plane for the
+    component-major layout rationale."""
     cls = rows['seg_class']
-    n = cls.shape[0]
     depth_total = jnp.einsum('csm,m->cs', spec.class_total_f(), params.h)[cls]
     depth_minor = jnp.einsum('csm,m->cs', spec.class_minor_f(), params.h)[cls]
 
@@ -535,28 +543,31 @@ def _allele_emission_rows(spec, params, rows):
     lgamma = jax.lax.lgamma
     loh = rows['loh_override']
     tr = rows['total_reads'][:, None]
+    v, w = divmod(k, 2)
+    M_plain, M_loh = ((params.betabin_M_0, params.betabin_loh_M_0),
+                      (params.betabin_M_1, params.betabin_loh_M_1))[v]
+    Mv = jnp.where(loh, M_loh, M_plain)
+    Mp = Mv * p_safe
+    Mq = Mv * (1.0 - p_safe)
+    lg_Mp = lgamma(Mp)
+    lg_Mq = lgamma(Mq)
+    lg_trM = jnp.where(loh, lgamma(tr + M_loh), lgamma(tr + M_plain))
+    lg_M = jnp.where(loh, lgamma(M_loh), lgamma(M_plain))
     lg_tr1 = lgamma(tr + 1.0)                              # (n, 1)
-    lg_k1 = [lgamma(rows['y'][:, w][:, None] + 1.0) for w in range(2)]
-    lg_nk1 = [lgamma(tr - rows['y'][:, w][:, None] + 1.0) for w in range(2)]
+    kk = rows['y'][:, w][:, None]
+    lg_k1 = lgamma(kk + 1.0)
+    lg_nk1 = lgamma(tr - kk + 1.0)
+    ll = (lg_tr1 - lg_k1 - lg_nk1
+          + lgamma(kk + Mp) + lgamma(tr - kk + Mq)
+          - lg_trM - lg_Mp - lg_Mq + lg_M)
+    return jnp.where(zero, 0.0, ll)
 
-    lls = [None] * 4
-    for v, (M_plain, M_loh) in enumerate(
-            [(params.betabin_M_0, params.betabin_loh_M_0),
-             (params.betabin_M_1, params.betabin_loh_M_1)]):
-        Mv = jnp.where(loh, M_loh, M_plain)
-        Mp = Mv * p_safe
-        Mq = Mv * (1.0 - p_safe)
-        lg_Mp = lgamma(Mp)
-        lg_Mq = lgamma(Mq)
-        lg_trM = jnp.where(loh, lgamma(tr + M_loh), lgamma(tr + M_plain))
-        lg_M = jnp.where(loh, lgamma(M_loh), lgamma(M_plain))
-        for w in range(2):
-            k = rows['y'][:, w][:, None]
-            ll = (lg_tr1 - lg_k1[w] - lg_nk1[w]
-                  + lgamma(k + Mp) + lgamma(tr - k + Mq)
-                  - lg_trM - lg_Mp - lg_Mq + lg_M)
-            lls[v * 2 + w] = jnp.where(zero, 0.0, ll)
-    return jnp.stack(lls, axis=0)
+
+def _allele_emission_rows(spec, params, rows):
+    """ll_allele (4, n, S), component-major, k = v·2 + w
+    (see _allele_emission_plane)."""
+    return jnp.stack([_allele_emission_plane(spec, params, rows, k)
+                      for k in range(4)], axis=0)
 
 
 def _emission_tensors_rows(spec, params, rows):
@@ -1189,6 +1200,34 @@ def expected_log_likelihood_allele_half(spec, params, state):
     ll_alle = _allele_emission_rows(spec, params, rows)
     return jnp.einsum('ns,nk,kns->', state.posterior_marginals,
                       _allele_mix_weights(state), ll_alle)
+
+
+def expected_log_likelihood_components(spec, params, state, half, comps):
+    """Per-component full-genome expected-log-likelihood contractions.
+
+    ``half='total'``: component u contracts marg·p_outlier_total[:, u]
+    against ll_total plane u; ``half='allele'``: component k = v·2 + w
+    uses p_outlier_allele[:, v]·p_allele_swap[:, w]. Returns a list of
+    scalars, one per requested component. The M-step accept/reject
+    recomputes only the components its parameter touches — the emission
+    planes are lgamma-bound, and each scalar likelihood parameter enters
+    at most two of the six planes (em.PARAM_COMPONENTS).
+    """
+    rows = _emission_row_arrays(spec, params)
+    marg = state.posterior_marginals
+    out = []
+    if half == 'total':
+        for u in comps:
+            plane = _total_emission_plane(spec, params, rows, u)
+            out.append(jnp.einsum('ns,n,ns->', marg,
+                                  state.p_outlier_total[:, u], plane))
+    else:
+        for k in comps:
+            v, w = divmod(k, 2)
+            wk = state.p_outlier_allele[:, v] * state.p_allele_swap[:, w]
+            plane = _allele_emission_plane(spec, params, rows, k)
+            out.append(jnp.einsum('ns,n,ns->', marg, wk, plane))
+    return out
 
 
 def expected_log_likelihood_indexed(spec, params, state, idx):
