@@ -117,17 +117,50 @@ def build_pallas_plan(chain_bank_idx_np, num_static_bank, Q, L, S):
                 sched_lane=sched_lane, sched_slot=sched_slot)
 
 
-def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
+def _flat_schedule(sched_lane, sched_slot):
+    """Flatten a (kmax, L) column schedule into global junction order.
+
+    Returns (g0 (L+1,), jl (max(G,1),), js (max(G,1),), G): junction g's
+    lane/slot are jl[g]/js[g]; column t's junctions are g0[t] <= g <
+    g0[t+1]. The kernels pipeline junction DMAs in this global order —
+    junction g's fetch is issued when junction g - num_slots is applied
+    (and the first num_slots at grid step 0), so a fetch leads its use
+    by ~num_slots junctions ACROSS column boundaries instead of being
+    issued at the top of its own column (where only the static dot hides
+    its latency; junction-DMA stalls dominated the kernel step budget).
+    """
+    kmax, L = sched_lane.shape
+    jl, js = [], []
+    g0 = np.zeros(L + 1, dtype=np.int32)
+    for t in range(L):
+        for k in range(kmax):
+            if sched_lane[k, t] >= 0:
+                jl.append(sched_lane[k, t])
+                js.append(sched_slot[k, t])
+        g0[t + 1] = len(jl)
+    G = len(jl)
+    jl = np.asarray(jl or [0], dtype=np.int32)
+    js = np.asarray(js or [0], dtype=np.int32)
+    return g0, jl, js, G
+
+
+def _fb_kernel_wrapped(g0_ref, jl_ref, js_ref,
                        frame_ref, cls_ref, static_exp_ref, be_exp_ref,
                        out_ref, carry_ref, be_scratch, sems,
-                       *, kmax, num_static, reverse, num_slots):
+                       *, kmax, num_static, reverse, num_slots, G):
     """One grid step = one chain position; VMEM scratch carries the running
-    message. Resident-class result first, then breakend lane fix-ups through
-    the refs. Fix-up DMAs double-buffer through ``num_slots`` scratch slots
-    (scoped VMEM caps the scratch well below kmax full matrices when the
-    restart-tiled schedule multiplies fix-ups per column)."""
+    message. Resident-class result first, then breakend lane fix-ups in
+    global junction order (_flat_schedule): junction g occupies scratch
+    slot g % num_slots, its DMA issued when junction g - num_slots was
+    applied — a rolling pipeline ~num_slots junctions deep that crosses
+    column boundaries."""
     t = pl.program_id(0)
     Qp = carry_ref.shape[0]
+
+    def _fetch(g, slot):
+        pltpu.make_async_copy(
+            be_exp_ref.at[js_ref[g]], be_scratch.at[slot],
+            sems.at[slot]).start()
 
     @pl.when(t == 0)
     def _init():
@@ -137,19 +170,11 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
         else:
             carry_ref[:, :] = frame_ref[0, :, :]
             out_ref[0, :, :] = frame_ref[0, :, :]
+        for k in range(min(num_slots, G)):
+            _fetch(k, k)
 
     @pl.when(t > 0)
     def _step():
-        for k in range(min(kmax, num_slots)):
-            lane = sched_lane_ref[k, t]
-
-            @pl.when(lane >= 0)
-            def _start(k=k):
-                slot = sched_slot_ref[k, t]
-                pltpu.make_async_copy(
-                    be_exp_ref.at[slot], be_scratch.at[k % num_slots],
-                    sems.at[k % num_slots]).start()
-
         if reverse:
             carry = carry_ref[:, :] + frame_ref[0, :, :]
         else:
@@ -185,15 +210,18 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
             out_ref[0, :, :] = out_val
             carry_ref[:, :] = out_val
 
+        g_lo = g0_ref[t]
+        g_hi = g0_ref[t + 1]
         for k in range(kmax):
-            lane = sched_lane_ref[k, t]
 
-            @pl.when(lane >= 0)
+            @pl.when(g_lo + k < g_hi)
             def _apply(k=k):
-                slot = sched_slot_ref[k, t]
+                g = g_lo + k
+                slot = jax.lax.rem(g, np.int32(num_slots))
+                lane = jl_ref[g]
                 pltpu.make_async_copy(
-                    be_exp_ref.at[slot], be_scratch.at[k % num_slots],
-                    sems.at[k % num_slots]).wait()
+                    be_exp_ref.at[js_ref[g]], be_scratch.at[slot],
+                    sems.at[slot]).wait()
                 onehot = (jax.lax.broadcasted_iota(jnp.int32, (Qp, 1), 0)
                           == lane)
                 u_lane = jnp.sum(jnp.where(onehot, u, 0.0),
@@ -201,13 +229,13 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
                 cmax_lane = jnp.sum(jnp.where(onehot, cmax, 0.0),
                                     axis=0, keepdims=True)
                 if reverse:
-                    s = jnp.dot(u_lane, be_scratch[k % num_slots, :, :].T,
+                    s = jnp.dot(u_lane, be_scratch[slot, :, :].T,
                                 preferred_element_type=jnp.float32,
-                            precision=MM_PRECISION_PALLAS)
+                                precision=MM_PRECISION_PALLAS)
                 else:
-                    s = jnp.dot(u_lane, be_scratch[k % num_slots, :, :],
+                    s = jnp.dot(u_lane, be_scratch[slot, :, :],
                                 preferred_element_type=jnp.float32,
-                            precision=MM_PRECISION_PALLAS)
+                                precision=MM_PRECISION_PALLAS)
                 val = jnp.log(jnp.maximum(s, TINY)) + cmax_lane
                 if reverse:
                     fixed = jnp.broadcast_to(val, carry_ref.shape)
@@ -217,22 +245,17 @@ def _fb_kernel_wrapped(sched_lane_ref, sched_slot_ref,
                 out_ref[0, :, :] = jnp.where(onehot, fixed, out_ref[0, :, :])
                 carry_ref[:, :] = jnp.where(onehot, fixed, carry_ref[:, :])
 
-            # the slot just applied is free: start the DMA W steps ahead
-            if k + num_slots < kmax:
-                lane_next = sched_lane_ref[k + num_slots, t]
-
-                @pl.when(lane_next >= 0)
-                def _start_next(k=k):
-                    slot = sched_slot_ref[k + num_slots, t]
-                    pltpu.make_async_copy(
-                        be_exp_ref.at[slot], be_scratch.at[k % num_slots],
-                        sems.at[k % num_slots]).start()
+                # the slot just read is free: refill it with the junction
+                # num_slots ahead (same slot by construction)
+                @pl.when(g + num_slots < G)
+                def _refill():
+                    _fetch(g + num_slots, slot)
 
 
-def _fb_kernel_scaled(sched_lane_ref, sched_slot_ref,
+def _fb_kernel_scaled(g0_ref, jl_ref, js_ref,
                       frame_ref, cls_ref, static_exp_ref, be_exp_ref,
                       out_ref, carry_ref, scale_ref, be_scratch, sems,
-                      *, kmax, num_static, reverse, num_slots, scale_col):
+                      *, kmax, num_static, reverse, num_slots, scale_col, G):
     """Scaled-linear-space variant of _fb_kernel_wrapped (classic scaled-HMM
     recursion — a new formulation here, not a reference port: the
     reference's sum_product, bpmodel.pyx:1213-1246, is log-space with a
@@ -252,6 +275,11 @@ def _fb_kernel_scaled(sched_lane_ref, sched_slot_ref,
     Qp = carry_ref.shape[0]
     col_iota = jax.lax.broadcasted_iota(jnp.int32, carry_ref.shape, 1)
 
+    def _fetch(g, slot):
+        pltpu.make_async_copy(
+            be_exp_ref.at[js_ref[g]], be_scratch.at[slot],
+            sems.at[slot]).start()
+
     @pl.when(t == 0)
     def _init():
         if reverse:
@@ -264,19 +292,11 @@ def _fb_kernel_scaled(sched_lane_ref, sched_slot_ref,
         carry_ref[:, :] = u0
         scale_ref[:, :] = sc0
         out_ref[0, :, :] = jnp.where(col_iota == scale_col, sc0[:, :1], u0)
+        for k in range(min(num_slots, G)):
+            _fetch(k, k)
 
     @pl.when(t > 0)
     def _step():
-        for k in range(min(kmax, num_slots)):
-            lane = sched_lane_ref[k, t]
-
-            @pl.when(lane >= 0)
-            def _start(k=k):
-                slot = sched_slot_ref[k, t]
-                pltpu.make_async_copy(
-                    be_exp_ref.at[slot], be_scratch.at[k % num_slots],
-                    sems.at[k % num_slots]).start()
-
         u_prev = carry_ref[:, :]
         sc_prev = scale_ref[:, :]
         fmax_t = cls_ref[0, :, FMAX_CH:FMAX_CH + 1]      # (Qp, 1)
@@ -311,20 +331,23 @@ def _fb_kernel_scaled(sched_lane_ref, sched_slot_ref,
         carry_ref[:, :] = u
         scale_ref[:, :] = scale
 
+        g_lo = g0_ref[t]
+        g_hi = g0_ref[t + 1]
         for k in range(kmax):
-            lane = sched_lane_ref[k, t]
 
-            @pl.when(lane >= 0)
+            @pl.when(g_lo + k < g_hi)
             def _apply(k=k):
-                slot = sched_slot_ref[k, t]
+                g = g_lo + k
+                slot = jax.lax.rem(g, np.int32(num_slots))
+                lane = jl_ref[g]
                 pltpu.make_async_copy(
-                    be_exp_ref.at[slot], be_scratch.at[k % num_slots],
-                    sems.at[k % num_slots]).wait()
+                    be_exp_ref.at[js_ref[g]], be_scratch.at[slot],
+                    sems.at[slot]).wait()
                 onehot = (jax.lax.broadcasted_iota(jnp.int32, (Qp, 1), 0)
                           == lane)
                 base_lane = jnp.sum(jnp.where(onehot, base, 0.0),
                                     axis=0, keepdims=True)
-                mat = be_scratch[k % num_slots, :, :]
+                mat = be_scratch[slot, :, :]
                 if reverse:
                     s_l = jnp.dot(base_lane, mat.T,
                                   preferred_element_type=jnp.float32,
@@ -349,15 +372,9 @@ def _fb_kernel_scaled(sched_lane_ref, sched_slot_ref,
                     onehot, jnp.broadcast_to(scale_lane, scale_ref.shape),
                     scale_ref[:, :])
 
-            if k + num_slots < kmax:
-                lane_next = sched_lane_ref[k + num_slots, t]
-
-                @pl.when(lane_next >= 0)
-                def _start_next(k=k):
-                    slot = sched_slot_ref[k + num_slots, t]
-                    pltpu.make_async_copy(
-                        be_exp_ref.at[slot], be_scratch.at[k % num_slots],
-                        sems.at[k % num_slots]).start()
+                @pl.when(g + num_slots < G)
+                def _refill():
+                    _fetch(g + num_slots, slot)
 
 
 def _scaled_to_log(tm_out):
@@ -377,8 +394,6 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
     _scaled_to_log."""
     L, Qp, Sp = frame_tm.shape
     kmax = plan['kmax']
-    # scoped VMEM caps the fix-up scratch; DMAs double-buffer in waves
-    num_slots = min(kmax, TILED_NUM_SLOTS)
     num_static = static_exp.shape[0]
     scaled = fmax is not None
 
@@ -394,6 +409,10 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
         cls_onehot = np.concatenate(
             [cls_onehot[:1], cls_onehot[1:][::-1]], axis=0)
 
+    g0, jl, js, G = _flat_schedule(sched_lane, sched_slot)
+    # scratch slot count = DMA pipeline depth (scoped VMEM bound)
+    num_slots = max(1, min(G, TILED_NUM_SLOTS))
+
     cls_plane = jnp.asarray(cls_onehot)
     if scaled:
         # the frame max shift rides a free channel of the class plane; the
@@ -404,7 +423,7 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
             fmax.astype(jnp.float32))
         kernel = functools.partial(
             _fb_kernel_scaled, kmax=kmax, num_static=num_static,
-            reverse=reverse, num_slots=num_slots, scale_col=Sp - 1)
+            reverse=reverse, num_slots=num_slots, scale_col=Sp - 1, G=G)
         scratch_shapes = [
             pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry u
             pltpu.VMEM((Qp, CLS_CHANNELS), jnp.float32),       # log scale
@@ -414,7 +433,7 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
     else:
         kernel = functools.partial(
             _fb_kernel_wrapped, kmax=kmax, num_static=num_static,
-            reverse=reverse, num_slots=num_slots)
+            reverse=reverse, num_slots=num_slots, G=G)
         scratch_shapes = [
             pltpu.VMEM((Qp, Sp), jnp.float32),                 # carry
             pltpu.VMEM((num_slots, Sp, Sp), jnp.float32),      # breakend mats
@@ -437,7 +456,7 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
         out_idx = lambda t, *_: (t, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(L,),
         in_specs=[
             pl.BlockSpec((1, Qp, Sp), frame_idx,
@@ -457,7 +476,7 @@ def _run_direction(frame_tm, cls_onehot, static_exp, be_exp, plan, reverse,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((L, Qp, Sp), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(sched_lane), jnp.asarray(sched_slot),
+    )(jnp.asarray(g0), jnp.asarray(jl), jnp.asarray(js),
       frame_tm, cls_plane, static_exp, be_exp)
 
 
@@ -717,11 +736,11 @@ def build_pallas_plan_restarts_grouped(chain_bank_idx_np, num_static_bank,
                 num_restarts=R, Q=Q, grouped=True)
 
 
-def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
+def _fb_kernel_grouped(g0_ref, jl_ref, js_ref,
                        frame_ref, cls_ref, static_exp_ref, be_exp_ref,
                        out_ref, carry_ref, be_scratch, sems,
                        *, kmax, num_static, reverse, num_slots, R,
-                       fixup_vpu):
+                       fixup_vpu, G):
     """Grouped restart-tiled kernel step: per junction, one fetch of the
     (R, Sp, Sp) matrix slab and one R-lane fix-up.
 
@@ -730,18 +749,20 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
     Mosaic miscompiles/faults at production lane counts (Qp > 256).
 
     Each junction's (R, Sp, Sp) slab is fetched with ONE dynamic-slice
-    DMA from the junction-major bank (rows [slot*R, (slot+1)*R)) into a
-    double-buffered scratch slot; the fix-up then runs either R serial
-    1-row MXU dots or one batched VPU multiply-reduce over the resident
-    slab (``fixup_vpu``)."""
+    DMA from the junction-major bank (rows [slot*R, (slot+1)*R)) into
+    scratch slot g % num_slots in GLOBAL junction order
+    (_flat_schedule): the fetch is issued when junction g - num_slots is
+    applied, a rolling pipeline that crosses column boundaries. The
+    fix-up runs either R serial 1-row MXU dots or one batched VPU
+    multiply-reduce over the resident slab (``fixup_vpu``)."""
     t = pl.program_id(0)
     Qp = carry_ref.shape[0]
 
-    def _fetch_slab(k, slot):
+    def _fetch_slab(g, slot):
         pltpu.make_async_copy(
-            be_exp_ref.at[pl.ds(slot * R, R)],
-            be_scratch.at[k % num_slots],
-            sems.at[k % num_slots]).start()
+            be_exp_ref.at[pl.ds(js_ref[g] * R, R)],
+            be_scratch.at[slot],
+            sems.at[slot]).start()
 
     @pl.when(t == 0)
     def _init():
@@ -751,16 +772,11 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
         else:
             carry_ref[:, :] = frame_ref[0, :, :]
             out_ref[0, :, :] = frame_ref[0, :, :]
+        for k in range(min(num_slots, G)):
+            _fetch_slab(k, k)
 
     @pl.when(t > 0)
     def _step():
-        for k in range(min(kmax, num_slots)):
-            lane = sched_lane_ref[k, t]
-
-            @pl.when(lane >= 0)
-            def _start(k=k):
-                _fetch_slab(k, sched_slot_ref[k, t])
-
         if reverse:
             carry = carry_ref[:, :] + frame_ref[0, :, :]
         else:
@@ -797,16 +813,19 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, 1), 0)
 
+        g_lo = g0_ref[t]
+        g_hi = g0_ref[t + 1]
         for k in range(kmax):
-            lane = sched_lane_ref[k, t]
 
-            @pl.when(lane >= 0)
+            @pl.when(g_lo + k < g_hi)
             def _apply(k=k):
-                slot = sched_slot_ref[k, t]
+                g = g_lo + k
+                slot = jax.lax.rem(g, np.int32(num_slots))
+                lane = jl_ref[g]
                 pltpu.make_async_copy(
-                    be_exp_ref.at[pl.ds(slot * R, R)],
-                    be_scratch.at[k % num_slots],
-                    sems.at[k % num_slots]).wait()
+                    be_exp_ref.at[pl.ds(js_ref[g] * R, R)],
+                    be_scratch.at[slot],
+                    sems.at[slot]).wait()
                 # gather the slab's R lanes of (pre-update) u and cmax with
                 # a one-hot (R, Qp) selection matmul: exact, since each
                 # output row has exactly one unit coefficient
@@ -826,7 +845,7 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                     # batched matvec as a VPU multiply-reduce over the
                     # resident slab: one op instead of R serial 1-row MXU
                     # dots (each of which pays full pipeline latency)
-                    slab = be_scratch[k % num_slots, :, :, :]   # (R, Sp, Sp)
+                    slab = be_scratch[slot, :, :, :]            # (R, Sp, Sp)
                     if reverse:
                         s = jnp.sum(u_slab[:, None, :] * slab, axis=2)
                     else:
@@ -834,7 +853,7 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                 else:
                     rows = []
                     for r in range(R):
-                        mat = be_scratch[k % num_slots, r, :, :]
+                        mat = be_scratch[slot, r, :, :]
                         if reverse:
                             s_r = jnp.dot(u_slab[r:r + 1, :], mat.T,
                                           preferred_element_type=jnp.float32,
@@ -857,32 +876,31 @@ def _fb_kernel_grouped(sched_lane_ref, sched_slot_ref,
                 out_ref[0, :, :] = jnp.where(mask, full, out_ref[0, :, :])
                 carry_ref[:, :] = jnp.where(mask, full, carry_ref[:, :])
 
-            if k + num_slots < kmax:
-                lane_next = sched_lane_ref[k + num_slots, t]
+                # the slot just read is free: refill with the junction
+                # num_slots ahead (same slot by construction)
+                @pl.when(g + num_slots < G)
+                def _refill():
+                    _fetch_slab(g + num_slots, slot)
 
-                @pl.when(lane_next >= 0)
-                def _start_next(k=k):
-                    _fetch_slab(k, sched_slot_ref[k + num_slots, t])
 
-
-def _fb_kernel_grouped_scaled(sched_lane_ref, sched_slot_ref,
+def _fb_kernel_grouped_scaled(g0_ref, jl_ref, js_ref,
                               frame_ref, cls_ref, static_exp_ref, be_exp_ref,
                               out_ref, carry_ref, scale_ref, be_scratch, sems,
                               *, kmax, num_static, reverse, num_slots, R,
-                              fixup_vpu, scale_col):
+                              fixup_vpu, scale_col, G):
     """Scaled-linear-space variant of _fb_kernel_grouped: same junction
-    slab DMA / one-hot addressing, but the carry stays in per-lane
+    slab pipeline / one-hot addressing, but the carry stays in per-lane
     max-normalized linear space with a log-scale scratch (see
     _fb_kernel_scaled for the numerics contract)."""
     t = pl.program_id(0)
     Qp = carry_ref.shape[0]
     col_iota = jax.lax.broadcasted_iota(jnp.int32, carry_ref.shape, 1)
 
-    def _fetch_slab(k, slot):
+    def _fetch_slab(g, slot):
         pltpu.make_async_copy(
-            be_exp_ref.at[pl.ds(slot * R, R)],
-            be_scratch.at[k % num_slots],
-            sems.at[k % num_slots]).start()
+            be_exp_ref.at[pl.ds(js_ref[g] * R, R)],
+            be_scratch.at[slot],
+            sems.at[slot]).start()
 
     @pl.when(t == 0)
     def _init():
@@ -896,16 +914,11 @@ def _fb_kernel_grouped_scaled(sched_lane_ref, sched_slot_ref,
         carry_ref[:, :] = u0
         scale_ref[:, :] = sc0
         out_ref[0, :, :] = jnp.where(col_iota == scale_col, sc0[:, :1], u0)
+        for k in range(min(num_slots, G)):
+            _fetch_slab(k, k)
 
     @pl.when(t > 0)
     def _step():
-        for k in range(min(kmax, num_slots)):
-            lane = sched_lane_ref[k, t]
-
-            @pl.when(lane >= 0)
-            def _start(k=k):
-                _fetch_slab(k, sched_slot_ref[k, t])
-
         u_prev = carry_ref[:, :]
         sc_prev = scale_ref[:, :]
         fmax_t = cls_ref[0, :, FMAX_CH:FMAX_CH + 1]      # (Qp, 1)
@@ -939,16 +952,19 @@ def _fb_kernel_grouped_scaled(sched_lane_ref, sched_slot_ref,
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, 1), 0)
 
+        g_lo = g0_ref[t]
+        g_hi = g0_ref[t + 1]
         for k in range(kmax):
-            lane = sched_lane_ref[k, t]
 
-            @pl.when(lane >= 0)
+            @pl.when(g_lo + k < g_hi)
             def _apply(k=k):
-                slot = sched_slot_ref[k, t]
+                g = g_lo + k
+                slot = jax.lax.rem(g, np.int32(num_slots))
+                lane = jl_ref[g]
                 pltpu.make_async_copy(
-                    be_exp_ref.at[pl.ds(slot * R, R)],
-                    be_scratch.at[k % num_slots],
-                    sems.at[k % num_slots]).wait()
+                    be_exp_ref.at[pl.ds(js_ref[g] * R, R)],
+                    be_scratch.at[slot],
+                    sems.at[slot]).wait()
                 # gather the slab's R lanes of the PRE-update base with a
                 # one-hot (R, Qp) selection matmul (exact: one unit
                 # coefficient per output row; lane ADDRESSING stays at
@@ -960,7 +976,7 @@ def _fb_kernel_grouped_scaled(sched_lane_ref, sched_slot_ref,
                                     preferred_element_type=jnp.float32,
                                     precision=jax.lax.Precision.HIGHEST)
                 if fixup_vpu:
-                    slab = be_scratch[k % num_slots, :, :, :]   # (R, Sp, Sp)
+                    slab = be_scratch[slot, :, :, :]            # (R, Sp, Sp)
                     if reverse:
                         s_slab = jnp.sum(base_slab[:, None, :] * slab, axis=2)
                     else:
@@ -968,7 +984,7 @@ def _fb_kernel_grouped_scaled(sched_lane_ref, sched_slot_ref,
                 else:
                     rows = []
                     for r in range(R):
-                        mat = be_scratch[k % num_slots, r, :, :]
+                        mat = be_scratch[slot, r, :, :]
                         if reverse:
                             s_r = jnp.dot(base_slab[r:r + 1, :], mat.T,
                                           preferred_element_type=jnp.float32,
@@ -1010,12 +1026,9 @@ def _fb_kernel_grouped_scaled(sched_lane_ref, sched_slot_ref,
                     mask, jnp.broadcast_to(full_scale, scale_ref.shape),
                     scale_ref[:, :])
 
-            if k + num_slots < kmax:
-                lane_next = sched_lane_ref[k + num_slots, t]
-
-                @pl.when(lane_next >= 0)
-                def _start_next(k=k):
-                    _fetch_slab(k, sched_slot_ref[k + num_slots, t])
+                @pl.when(g + num_slots < G)
+                def _refill():
+                    _fetch_slab(g + num_slots, slot)
 
 
 def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
@@ -1025,7 +1038,6 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
     L, Qp, Sp = frame_tm.shape
     kmax = plan['kmax']
     R = plan['num_restarts']
-    num_slots = min(kmax, GROUPED_NUM_SLOTS)
     num_static = static_exp.shape[0]
     scaled = fmax is not None
 
@@ -1039,6 +1051,10 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         cls_onehot = np.concatenate(
             [cls_onehot[:1], cls_onehot[1:][::-1]], axis=0)
 
+    g0, jl, js, G = _flat_schedule(sched_lane, sched_slot)
+    # slab pipeline depth (each slot is an (R, Sp, Sp) slab of VMEM)
+    num_slots = max(1, min(G, GROUPED_NUM_SLOTS))
+
     cls_plane = jnp.asarray(cls_onehot)
     if scaled:
         if reverse:
@@ -1047,12 +1063,12 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         kernel = functools.partial(
             _fb_kernel_grouped_scaled, kmax=kmax, num_static=num_static,
             reverse=reverse, num_slots=num_slots, R=R,
-            fixup_vpu=GROUPED_FIXUP_VPU, scale_col=Sp - 1)
+            fixup_vpu=GROUPED_FIXUP_VPU, scale_col=Sp - 1, G=G)
     else:
         kernel = functools.partial(
             _fb_kernel_grouped, kmax=kmax, num_static=num_static,
             reverse=reverse, num_slots=num_slots, R=R,
-            fixup_vpu=GROUPED_FIXUP_VPU)
+            fixup_vpu=GROUPED_FIXUP_VPU, G=G)
 
     # Both directions stream the SAME forward-time frame array; the
     # reverse recursion reads frame step L-t (the shifted reversed
@@ -1082,7 +1098,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(L,),
         in_specs=[
             pl.BlockSpec((1, Qp, Sp), frame_idx,
@@ -1110,7 +1126,7 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 110 * 1024 * 1024)),
         interpret=interpret,
-    )(jnp.asarray(sched_lane), jnp.asarray(sched_slot),
+    )(jnp.asarray(g0), jnp.asarray(jl), jnp.asarray(js),
       frame_tm, cls_plane, static_exp, be_exp_grouped)
 
 
