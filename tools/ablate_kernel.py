@@ -43,13 +43,14 @@ print('RESULT ' + json.dumps({
 # the shipped default and doubles as the baseline sanity check. 'high' is
 # absent: Mosaic lowers only DEFAULT/HIGHEST dots, so inside the Pallas
 # kernels HIGH is clamped to HIGHEST (ops/special.py MM_PRECISION_PALLAS)
-# and would measure the same as the baseline here.
+# and would measure the same as the baseline here. grouped_slots now sets
+# the junction-DMA pipeline depth (slabs in flight, VMEM-bounded).
 GRID = [
-    ('highest', '1', '2', '1'),
     ('highest', '1', '2', '0'),
-    ('highest', '0', '2', '1'),
-    ('default', '1', '2', '1'),
-    ('highest', '1', '3', '1'),
+    ('highest', '1', '3', '0'),
+    ('highest', '1', '4', '0'),
+    ('default', '1', '2', '0'),
+    ('highest', '1', '2', '1'),
 ]
 
 
