@@ -145,11 +145,11 @@ def test_same_step_breakends_across_lanes():
     assert_parity(problem)
 
 
-def test_slot_reuse_wave_kmax_above_buffer(monkeypatch):
-    """Columns with more same-step breakends than scratch slots exercise
-    the double-buffer wave logic (slot reuse ``k % num_slots`` + the
-    ``k + num_slots < kmax`` prefetch) that production kmax > 8 hits but
-    the default-slot tests never reach."""
+def test_slot_reuse_pipeline_depth_below_kmax(monkeypatch):
+    """Columns with more junctions than pipeline slots exercise the
+    global-order DMA pipeline's slot reuse (junction g refills slot
+    g % num_slots from inside the apply loop) that production depths
+    hit but the default-slot tests never reach."""
     monkeypatch.setattr(fb_pallas, 'TILED_NUM_SLOTS', 2)
     problem = build_problem(3, [8, 8, 8, 8], be_frac=0.9)
     assert problem['plan']['kmax'] > 2
