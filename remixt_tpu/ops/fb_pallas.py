@@ -40,9 +40,9 @@ FMAX_CH = CLS_CHANNELS - 1
 # Grouped-kernel tuning knobs (read once at import; ablation probes flip
 # these via env before picking new defaults — see ABLATION.json).
 #   fix-up batched matvec: VPU multiply-reduce (1) vs R serial MXU dots (0);
-#   the measured grid picked VPU (bit-identical output; round-3 grid
-#   +1.0% single-restart / +8.1% restart-batched on v5e at
-#   N=6000/S=355/R=12 — ABLATION.json)
+#   measured grids picked VPU (bit-identical output; +2.6%/+7.8%
+#   single/batched in round 2, +1.0%/+8.1% in the round-3 pre-pipeline
+#   grid, v5e at N=6000/S=355/R=12; ABLATION.json holds the LATEST grid)
 GROUPED_FIXUP_VPU = os.environ.get('REMIXT_TPU_FIXUP_VPU', '1') == '1'
 #   junction-slab double-buffer depth (VMEM: slots * R * Sp^2 floats)
 GROUPED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_GROUPED_SLOTS', '2'))
