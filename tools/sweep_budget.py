@@ -10,6 +10,16 @@ Usage (TPU host):
 
 With --restarts R > 0 the same breakdown runs through the restart-batched
 path (grouped Pallas kernel). Writes SWEEP_BUDGET.json at the repo root.
+
+Caveats: standalone dispatches pay forced output layouts and per-call
+overhead the fused production blocks don't, so component numbers are
+upper bounds and full_sweep (a SINGLE-sweep dispatch) can exceed the
+production per-sweep cost substantially — at R=12 the single-sweep jit
+compiles a pathological ~140 ms select fusion that the 5-sweep scan
+blocks (bench.py's shape, where emissions pin at the scan boundary and
+outputs feed the carry) do not exhibit; an emission optimization_barrier
+did not remove it. Benchmark truth lives in bench.py; use this tool for
+RELATIVE attribution between runs of the same shape.
 """
 
 import argparse
