@@ -1,0 +1,159 @@
+"""Per-phase wall-clock budget of the warm full fit on the real TPU.
+
+The bench's ``full_fit_warm_s`` (5 EM x 5 VI + fused h update + the
+10-parameter grid zoom) is a different animal from the raw sweep
+throughput: each EM iteration interleaves device dispatches with host
+work (subsample RNG draws) and one forced host pull (the posterior
+sampling weights feed numpy's RandomState). This tool times each phase
+separately so M-step optimization is attributed before it starts —
+the same measured-first discipline as tools/sweep_budget.py.
+
+Usage (TPU host):
+    python tools/fit_budget.py [--n 6000] [--events 300] [--restarts 12]
+
+Writes FIT_BUDGET.json at the repo root. Phase numbers are standalone
+dispatch+sync costs (upper bounds on their share of the pipelined fit
+loop; the loop overlaps host work with device execution wherever the
+data flow allows).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def timeit(fn, iters=10, warmup=2):
+    import jax
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=6000)
+    ap.add_argument('--events', type=int, default=300)
+    ap.add_argument('--restarts', type=int, default=12)
+    ap.add_argument('--iters', type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    from bench import build_model
+    from remixt_tpu.models import em as em_mod
+
+    model, data = build_model(args.n, args.events)
+    out = {
+        'N': args.n, 'restarts': args.restarts,
+        'backend': jax.default_backend(),
+    }
+
+    # ---- single-restart fit: total, then phases at the settled state ----
+    t0 = time.time()
+    model.fit(data['h'])
+    out['full_fit_cold_s'] = round(time.time() - t0, 3)
+    t0 = time.time()
+    model.fit(data['h'])
+    out['full_fit_warm_s'] = round(time.time() - t0, 3)
+
+    spec, params, state = model.spec, model.params, model.state
+    names = tuple(model.likelihood_params)
+    bounds = model.likelihood_param_bounds
+    rng = np.random.RandomState(7)
+
+    # relay round-trip floor: pull one device scalar
+    elbo_dev = spec.elbo(params, state)
+    jax.block_until_ready(elbo_dev)
+    out['host_pull_scalar_ms'] = round(
+        timeit(lambda: float(elbo_dev), iters=20) * 1e3, 3)
+
+    sweeps = spec.sweep_n(model.num_update_iter)
+    out['sweep5_ms'] = round(
+        timeit(lambda: sweeps(params, state), iters=args.iters) * 1e3, 3)
+    out['h_update_ms'] = round(timeit(
+        lambda: em_mod.update_h_fused(spec, params, state, rng),
+        iters=args.iters) * 1e3, 3)
+    out['param_weights_ms'] = round(timeit(
+        lambda: em_mod.param_sample_weights_all(spec, state, names),
+        iters=args.iters) * 1e3, 3)
+    weights_list = em_mod.param_sample_weights_all(spec, state, names)
+    out['params_update_ms'] = round(timeit(
+        lambda: em_mod.update_params_fused(
+            spec, params, state, names, bounds, rng, weights_list),
+        iters=args.iters) * 1e3, 3)
+    out['elbo_ms'] = round(
+        timeit(lambda: spec.elbo(params, state), iters=args.iters) * 1e3, 3)
+    out['decode_ms'] = round(
+        timeit(lambda: spec.decode(params, state), iters=args.iters) * 1e3, 3)
+
+    # ---- restart-batched grid fit ----
+    R = args.restarts
+    if R > 0:
+        from remixt_tpu.models.fit_batched import fit_restarts_batched
+        rngs_np = np.random.RandomState(1)
+        h_inits = [data['h'] * (1.0 + 0.1 * rngs_np.rand(3))
+                   for _ in range(R)]
+        dws = [10.0 ** -rngs_np.randint(6, 9) for _ in range(R)]
+        t0 = time.time()
+        fit_restarts_batched(model, h_inits, dws, chunk_size=R)
+        out['batched_grid_fit_cold_s'] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fit_restarts_batched(model, h_inits, dws, chunk_size=R)
+        out['batched_grid_fit_warm_s'] = round(time.time() - t0, 3)
+
+        from remixt_tpu.parallel import restarts as par
+        params_b = par.stack_pytrees(
+            [spec.init_params(h, dw,
+                              total_mask=model._total_likelihood_mask.astype(float),
+                              allele_mask=model._allele_likelihood_mask.astype(float))
+             for h, dw in zip(h_inits, dws)])
+        state_b = par.stack_pytrees([state] * R)
+        rngs = [np.random.RandomState(model.random_seed) for _ in range(R)]
+
+        from remixt_tpu.models.fit_batched import (
+            _sweeps_batched_fn, _elbo_batched_fn)
+        sweeps_b = _sweeps_batched_fn(spec, model.num_update_iter)
+        state_b = sweeps_b(params_b, state_b)  # settled batched state
+        jax.block_until_ready(state_b)
+
+        out['b_sweep5_ms'] = round(
+            timeit(lambda: sweeps_b(params_b, state_b),
+                   iters=args.iters) * 1e3, 3)
+        out['b_h_update_ms'] = round(timeit(
+            lambda: em_mod.update_h_fused_batched(
+                spec, params_b, state_b, rngs),
+            iters=args.iters) * 1e3, 3)
+        out['b_param_weights_ms'] = round(timeit(
+            lambda: em_mod.param_sample_weights_all_batched(
+                spec, state_b, names),
+            iters=args.iters) * 1e3, 3)
+        weights_lists = em_mod.param_sample_weights_all_batched(
+            spec, state_b, names)
+        out['b_params_update_ms'] = round(timeit(
+            lambda: em_mod.update_params_fused_batched(
+                spec, params_b, state_b, names, bounds, rngs,
+                weights_lists=weights_lists),
+            iters=args.iters) * 1e3, 3)
+        out['b_elbo_ms'] = round(
+            timeit(lambda: _elbo_batched_fn(spec)(params_b, state_b),
+                   iters=args.iters) * 1e3, 3)
+
+    print(json.dumps(out, indent=1))
+    with open(os.path.join(REPO, 'FIT_BUDGET.json'), 'w') as f:
+        json.dump(out, f, indent=1)
+        f.write('\n')
+
+
+if __name__ == '__main__':
+    main()
