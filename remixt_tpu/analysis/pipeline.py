@@ -162,8 +162,8 @@ def fit_many(experiment, init_params_dict, config):
 
     Returns {init_id: fit_results}.
     """
-    batched = config.get('batch_restarts', True) and not config.get(
-        'optimal_initialization', False)
+    batched = remixt_tpu.config.get_param(config, 'batch_restarts') \
+        and not config.get('optimal_initialization', False)
     if batched and len(init_params_dict) > 1:
         return _fit_many_batched(experiment, init_params_dict, config)
 
@@ -188,9 +188,30 @@ def _restart_h_init(init_params):
     ])
 
 
+def _production_mesh(config):
+    """The device mesh for the restart-sharded production fit.
+
+    With more than one local device (a multi-chip TPU host) and
+    ``use_device_mesh`` unset or true, all devices go on the restart axis
+    (restarts are the cheapest parallel axis — fully independent fits,
+    SURVEY §2.4). Single-device hosts run the plain batched driver.
+    Replaces the reference's per-restart cluster fan-out
+    (/root/reference/remixt/workflow.py:318-340) with zero user action.
+    """
+    import jax
+
+    if not remixt_tpu.config.get_param(config, 'use_device_mesh'):
+        return None
+    if len(jax.devices()) <= 1:
+        return None
+    from remixt_tpu.parallel import distributed
+    return distributed.make_training_mesh()
+
+
 def _fit_many_batched(experiment, init_params_dict, config):
     """Chunked batched grid fit; same per-restart semantics as the
-    sequential driver (see models/fit_batched.py)."""
+    sequential driver (see models/fit_batched.py). On multi-device hosts
+    the restart batch is sharded over the device mesh."""
     from remixt_tpu.models.fit_batched import fit_restarts_batched
 
     init_ids = list(init_params_dict.keys())
@@ -202,7 +223,8 @@ def _fit_many_batched(experiment, init_params_dict, config):
         model,
         [_restart_h_init(init_params_dict[i]) for i in init_ids],
         [init_params_dict[i]['divergence_weight'] for i in init_ids],
-        chunk_size=config.get('restart_chunk_size', 12))
+        chunk_size=remixt_tpu.config.get_param(config, 'restart_chunk_size'),
+        mesh=_production_mesh(config))
 
     results = {}
     for init_id, restart in zip(init_ids, raw):

@@ -156,8 +156,18 @@ do_h_update = True
 # Compute dtype for the inference engine on accelerators
 engine_dtype = 'float32'
 
-# Number of restarts fit concurrently per device batch (vmap width)
-restart_batch_size = 0  # 0 = all restarts in one batch
-
 # Enable the Pallas forward-backward kernel (falls back to lax.scan otherwise)
 use_pallas_fb = True
+
+# Fit the restart grid in batched chunks (one SPMD program per sweep) rather
+# than one restart at a time
+batch_restarts = True
+
+# Restarts advanced together per batched chunk (memory-bound; rounded up to
+# a multiple of the device count on multi-device hosts)
+restart_chunk_size = 12
+
+# Shard the restart batch over all local devices when more than one is
+# visible (the TPU-native analogue of the reference's per-restart cluster
+# fan-out, workflow.py:318-340)
+use_device_mesh = True

@@ -221,14 +221,19 @@ def _h_update_fn(spec):
     return cache['h_update']
 
 
-def _h_update_batched_fn(spec):
+def _h_update_batched_fn(spec, mesh=None):
     """Jitted restart-batched h update: params/state/sample batched, the
-    full-data indicator shared."""
+    full-data indicator shared. With a mesh, the batch shard_maps over the
+    restart axis (parallel/restarts.shard_restart_fn)."""
     cache = spec._jit_cache
-    if 'h_update_b' not in cache:
-        cache['h_update_b'] = jax.jit(
-            jax.vmap(_make_h_update(spec), in_axes=(0, 0, 0, None)))
-    return cache['h_update_b']
+    key = ('h_update_b', mesh)
+    if key not in cache:
+        f = jax.vmap(_make_h_update(spec), in_axes=(0, 0, 0, None))
+        if mesh is not None:
+            from remixt_tpu.parallel import restarts as par
+            f = par.shard_restart_fn(mesh, f, n_batched=3, n_replicated=1)
+        cache[key] = jax.jit(f)
+    return cache[key]
 
 
 def update_h_fused(spec, params, state, rng):
@@ -342,14 +347,18 @@ def _params_update_fn(spec, names, bounds):
     return cache[key]
 
 
-def _params_update_batched_fn(spec, names, bounds):
+def _params_update_batched_fn(spec, names, bounds, mesh=None):
     """Jitted restart-batched likelihood-parameter update:
-    params/state/samples batched per restart."""
+    params/state/samples batched per restart. With a mesh, the batch
+    shard_maps over the restart axis."""
     cache = spec._jit_cache
-    key = ('params_update_b', names)
+    key = ('params_update_b', names, mesh)
     if key not in cache:
-        cache[key] = jax.jit(jax.vmap(
-            _make_params_update(spec, names, bounds)))
+        f = jax.vmap(_make_params_update(spec, names, bounds))
+        if mesh is not None:
+            from remixt_tpu.parallel import restarts as par
+            f = par.shard_restart_fn(mesh, f, n_batched=3)
+        cache[key] = jax.jit(f)
     return cache[key]
 
 
@@ -367,21 +376,21 @@ def update_params_fused(spec, params, state, names, bounds, rng,
     return params, accepts, elbo
 
 
-def update_h_fused_batched(spec, params_b, state_b, rngs):
+def update_h_fused_batched(spec, params_b, state_b, rngs, mesh=None):
     """Restart-batched EM h update; one independent subsample per restart
     (matching the sequential driver's per-restart RNG streams)."""
     idxs = jnp.asarray(
         np.stack([create_sample_indices(rng, spec.N) for rng in rngs]),
         dtype=jnp.int32)
     full = jnp.ones(spec.N, dtype=spec.dtype)
-    params_b, accepts = _h_update_batched_fn(spec)(
+    params_b, accepts = _h_update_batched_fn(spec, mesh)(
         params_b, state_b, idxs, full)
     # accepts stays on device (see update_h_fused)
     return params_b, accepts
 
 
 def update_params_fused_batched(spec, params_b, state_b, names, bounds, rngs,
-                                weights_lists=None):
+                                weights_lists=None, mesh=None):
     """Restart-batched EM update of all scalar likelihood parameters.
 
     ``weights_lists[r][i]`` are restart r's posterior-responsibility
@@ -396,7 +405,7 @@ def update_params_fused_batched(spec, params_b, state_b, names, bounds, rngs,
                        else weights_lists[r][i])
             idxs[r, i] = create_sample_indices(rng, spec.N, weights)
     params_b, accepts, elbo_b = _params_update_batched_fn(
-        spec, tuple(names), bounds)(
+        spec, tuple(names), bounds, mesh)(
         params_b, state_b, jnp.asarray(idxs))
     # accepts/elbo stay on device (see update_params_fused)
     return params_b, accepts, elbo_b

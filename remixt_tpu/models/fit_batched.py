@@ -37,24 +37,33 @@ def _slice(tree, r):
     return jax.tree.map(lambda x: x[r], tree)
 
 
-def _elbo_batched_fn(spec):
+def _elbo_batched_fn(spec, mesh=None):
     cache = spec._jit_cache
-    if 'elbo_b' not in cache:
-        cache['elbo_b'] = jax.jit(jax.vmap(
-            functools.partial(eng.calculate_elbo, spec)))
-    return cache['elbo_b']
-
-
-def _sweeps_batched_fn(spec, num_sweeps):
-    key = ('sweeps_b', num_sweeps)
-    cache = spec._jit_cache
+    key = ('elbo_b', mesh)
     if key not in cache:
-        cache[key] = jax.jit(functools.partial(
-            eng.variational_sweeps_restarts, spec, num_sweeps=num_sweeps))
+        f = jax.vmap(functools.partial(eng.calculate_elbo, spec))
+        if mesh is not None:
+            from remixt_tpu.parallel import restarts as par
+            f = par.shard_restart_fn(mesh, f, n_batched=2)
+        cache[key] = jax.jit(f)
     return cache[key]
 
 
-def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
+def _sweeps_batched_fn(spec, num_sweeps, mesh=None):
+    key = ('sweeps_b', num_sweeps, mesh)
+    cache = spec._jit_cache
+    if key not in cache:
+        f = functools.partial(
+            eng.variational_sweeps_restarts, spec, num_sweeps=num_sweeps)
+        if mesh is not None:
+            from remixt_tpu.parallel import restarts as par
+            f = par.shard_restart_fn(mesh, f, n_batched=2)
+        cache[key] = jax.jit(f)
+    return cache[key]
+
+
+def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12,
+                         mesh=None):
     """Fit every restart of the grid in batched chunks on one model.
 
     Args:
@@ -62,6 +71,12 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
         h_inits: list of (M,) h initializations, one per restart
         divergence_weights: matching list of divergence weights
         chunk_size: restarts fit simultaneously (memory-bound)
+        mesh: optional device mesh with a ``restart`` axis; every sweep and
+            EM update then shard_maps the restart batch over it, replacing
+            the reference's one-cluster-job-per-restart fan-out
+            (/root/reference/remixt/workflow.py:318-340) with SPMD over
+            local devices. Per-restart results are bit-identical to the
+            single-device batched driver (restarts never interact).
 
     Returns:
         list of per-restart dicts with params, state, elbo, elbo_diff.
@@ -73,11 +88,24 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
         model._spec_num_clones = M
     spec = model.spec
 
+    mesh_extent = 1
+    if mesh is not None and 'restart' in mesh.shape:
+        mesh_extent = mesh.shape['restart']
+    if mesh_extent <= 1:
+        mesh = None
+    else:
+        # chunks must split evenly over the restart devices; round the
+        # chunk size up and pad the final partial chunk
+        chunk_size = -(-max(chunk_size, mesh_extent) // mesh_extent) \
+            * mesh_extent
+
     results = []
     for begin in range(0, num_restarts, chunk_size):
         chunk = list(range(begin, min(begin + chunk_size, num_restarts)))
         R = len(chunk)
-        logger.info('fitting restarts %d-%d batched', chunk[0], chunk[-1])
+        R_pad = -(-R // mesh_extent) * mesh_extent
+        logger.info('fitting restarts %d-%d batched%s', chunk[0], chunk[-1],
+                    ' on %d devices' % mesh.devices.size if mesh else '')
 
         params_b = _stack([
             spec.init_params(
@@ -89,11 +117,21 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
             [spec.init_state(model._init_p_breakpoint())] * R)
 
         # the sequential driver reseeds per restart, so every restart owns
-        # an identical-seed independent stream
-        rngs = [np.random.RandomState(model.random_seed) for _ in chunk]
+        # an identical-seed independent stream (padded restarts repeat the
+        # last real one so idx-array shapes match the padded batch)
+        rngs = [np.random.RandomState(model.random_seed)
+                for _ in range(R_pad)]
 
-        sweeps_b = _sweeps_batched_fn(spec, model.num_update_iter)
-        elbo_b = _elbo_batched_fn(spec)
+        if mesh is not None:
+            from remixt_tpu.parallel import restarts as par
+            if R_pad > R:
+                params_b = par.pad_restarts(params_b, R_pad)
+                state_b = par.pad_restarts(state_b, R_pad)
+            params_b = par.shard_restarts(mesh, params_b)
+            state_b = par.shard_restarts(mesh, state_b)
+
+        sweeps_b = _sweeps_batched_fn(spec, model.num_update_iter, mesh)
+        elbo_b = _elbo_batched_fn(spec, mesh)
 
         # elbo bookkeeping stays on device through the loop (each host
         # pull is a relay round trip); one conversion at the end
@@ -105,7 +143,7 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
 
             if model.do_h_update:
                 params_b, _ = em_mod.update_h_fused_batched(
-                    spec, params_b, state_b, rngs)
+                    spec, params_b, state_b, rngs, mesh=mesh)
 
             # weights computed on device for the whole chunk in ONE
             # dispatch and one (R, P, N) pull (bit-identical rows to the
@@ -116,14 +154,14 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12):
             params_b, _, elbo = em_mod.update_params_fused_batched(
                 spec, params_b, state_b, tuple(model.likelihood_params),
                 model.likelihood_param_bounds, rngs,
-                weights_lists=weights_lists)
+                weights_lists=weights_lists, mesh=mesh)
 
             elbo_diff = elbo - prev_elbo
             prev_elbo = elbo
 
-        prev_elbo = np.asarray(prev_elbo, dtype=float)
+        prev_elbo = np.asarray(prev_elbo, dtype=float)[:R]
         elbo_diff = (np.zeros(R) if elbo_diff is None
-                     else np.asarray(elbo_diff, dtype=float))
+                     else np.asarray(elbo_diff, dtype=float)[:R])
 
         for i in range(R):
             results.append({

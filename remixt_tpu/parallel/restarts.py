@@ -45,6 +45,37 @@ def make_restart_mesh(devices=None, axis='restart'):
     return Mesh(np.asarray(devices), (axis,))
 
 
+def shard_restart_fn(mesh, fn, n_batched, n_replicated=0, axis='restart'):
+    """shard_map a restart-batched function over the restart mesh axis.
+
+    The first ``n_batched`` arguments are restart-stacked pytrees (sharded
+    on their leading axis); the remaining ``n_replicated`` arguments are
+    replicated. Every output is restart-stacked. Restarts are fully
+    independent fits, so the body needs no collectives and per-restart
+    results are bit-identical to single-device execution; shard_map (rather
+    than relying on the SPMD partitioner) keeps the per-device program
+    identical to the single-device one — including the Pallas kernels,
+    which have no partitioning rules — so the production chip path runs
+    unmodified on every device.
+    """
+    in_specs = tuple([P(axis)] * n_batched + [P()] * n_replicated)
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=P(axis), check_vma=False)
+
+
+def pad_restarts(pytree, total, axis=0):
+    """Pad a restart-stacked pytree to ``total`` entries by repeating the
+    last restart (device-count divisibility for sharding; padded entries
+    are discarded by the caller)."""
+    def pad_leaf(x):
+        r = x.shape[axis]
+        if r >= total:
+            return x
+        last = jnp.take(x, jnp.asarray([r - 1] * (total - r)), axis=axis)
+        return jnp.concatenate([x, last], axis=axis)
+    return jax.tree.map(pad_leaf, pytree)
+
+
 def make_sharded_sweep(spec, mesh, axis='restart'):
     """Jitted restart-sharded variational sweep: (params_b, state_b) -> state_b.
 

@@ -217,3 +217,54 @@ def test_fit_many_batched_matches_sequential(tmp_path):
             rtol=1e-8)
         for bp_id, cn in seq[init_id]['brk_cn'].items():
             np.testing.assert_array_equal(bat[init_id]['brk_cn'][bp_id], cn)
+
+
+def test_fit_many_device_mesh_matches_single_device(tmp_path):
+    """The production fit path on the 8-device mesh (the default on any
+    multi-device host) must reproduce the single-device batched driver:
+    identical decoded copy number, posteriors/h to float64 reduction-order
+    noise (shard_map compiles per-device extents, so bitwise equality is
+    not expected — VERDICT r3 item 1/3)."""
+    data = sim.simulate_experiment(
+        N=40, M=3, h=(0.08, 0.05, 0.025), cn_max=6,
+        negbin_r=2000., betabin_M=2000., frac_genotyped=0.5, seed=11)
+    count_data, breakpoint_data = make_tables(data)
+    experiment = Experiment(count_data, breakpoint_data)
+
+    config = {
+        'max_copy_number': 6,
+        'num_em_iter': 2,
+        'num_update_iter': 2,
+        'engine_dtype': 'float64',
+        'tumour_mix_fractions': [0.45, 0.2],
+        'divergence_weights': [1e-6, 1e-8],
+    }
+    init_file = str(tmp_path / 'init.h5')
+    experiment_filename = str(tmp_path / 'experiment.pickle')
+    with open(experiment_filename, 'wb') as f:
+        pickle.dump(experiment, f)
+    init_params = pipeline.init(init_file, experiment_filename, config)
+
+    single = pipeline.fit_many(
+        experiment, init_params, dict(config, use_device_mesh=False))
+    meshed = pipeline.fit_many(
+        experiment, init_params, dict(config, use_device_mesh=True))
+
+    import jax
+    assert len(jax.devices()) == 8  # the mesh run really had devices to use
+
+    assert set(single.keys()) == set(meshed.keys())
+    for init_id in single:
+        np.testing.assert_array_equal(
+            meshed[init_id]['cn'], single[init_id]['cn'],
+            err_msg='restart {}'.format(init_id))
+        np.testing.assert_allclose(
+            meshed[init_id]['h'], single[init_id]['h'], rtol=1e-9)
+        np.testing.assert_allclose(
+            meshed[init_id]['stats']['elbo'], single[init_id]['stats']['elbo'],
+            rtol=1e-9)
+        np.testing.assert_allclose(
+            meshed[init_id]['p_outlier_total'],
+            single[init_id]['p_outlier_total'], atol=1e-9)
+        for bp_id, cn in single[init_id]['brk_cn'].items():
+            np.testing.assert_array_equal(meshed[init_id]['brk_cn'][bp_id], cn)
