@@ -1,76 +1,56 @@
-"""Fuzzy breakpoint matching between datasets. Mirrors /root/reference/
-remixt/analysis/breakpoints.py:18-91."""
+"""Fuzzy breakpoint matching between prediction sets.
 
-import numpy as np
+Capability parity with /root/reference/remixt/analysis/breakpoints.py:18-91,
+vectorized end to end: breakends join on (chromosome, strand) with a
+positional window filter, and the two-breakend pairing consistency check is
+a groupby-nunique instead of the reference's per-pair Python loop.
+"""
+
 import pandas as pd
-
-import remixt_tpu.segalg
 
 
 def create_breakends(bp):
-    be = bp[['prediction_id',
-             'chromosome_1', 'strand_1', 'position_1',
-             'chromosome_2', 'strand_2', 'position_2']].copy()
-    be.set_index('prediction_id', inplace=True)
-    be.columns = pd.MultiIndex.from_tuples([tuple(c.split('_')) for c in be.columns])
-    be = be.stack(future_stack=True)
-    be.index.names = ('prediction_id', 'prediction_side')
-    be = be.reset_index()
-    be['prediction_side'] = np.where(be['prediction_side'] == '1', 0, 1)
-    return be
+    """Long-form breakends: one row per (prediction, side) with columns
+    prediction_id, prediction_side (0/1), chromosome, strand, position."""
+    sides = []
+    for side_idx, suffix in enumerate(('_1', '_2')):
+        part = bp[['prediction_id', 'chromosome' + suffix,
+                   'strand' + suffix, 'position' + suffix]].copy()
+        part.columns = ['prediction_id', 'chromosome', 'strand', 'position']
+        part['prediction_side'] = side_idx
+        sides.append(part)
+    return pd.concat(sides, ignore_index=True)[
+        ['prediction_id', 'prediction_side', 'chromosome', 'strand',
+         'position']]
 
 
 def match_breakpoints(bp1, bp2, search_range=400):
-    """Match approximately equal breakpoints between two prediction sets:
-    both breakends within search_range, on matching chromosome/strand,
-    opposite sides pairing consistently.
+    """Approximately equal breakpoints between two prediction sets.
 
-    Returns dataframe with columns 'prediction_id_1', 'prediction_id_2'.
+    A pair matches when each of prediction 1's breakends has a same-
+    (chromosome, strand) breakend of prediction 2 within ``search_range``,
+    and the two pairings use distinct sides of both predictions.
+
+    Returns a dataframe with columns prediction_id_1, prediction_id_2.
     """
-    be1_gb = dict(list(create_breakends(bp1).groupby(['chromosome', 'strand'])))
-    be2_gb = dict(list(create_breakends(bp2).groupby(['chromosome', 'strand'])))
+    empty = pd.DataFrame(columns=['prediction_id_1', 'prediction_id_2'])
+    if bp1.empty or bp2.empty:
+        return empty
 
-    be_matched = []
+    paired = create_breakends(bp1).merge(
+        create_breakends(bp2),
+        on=['chromosome', 'strand'], suffixes=('_1', '_2'))
+    paired = paired[
+        (paired['position_1'] - paired['position_2']).abs() <= search_range]
+    if paired.empty:
+        return empty
 
-    for (chromosome, strand), be1 in be1_gb.items():
-        if (chromosome, strand) not in be2_gb:
-            continue
-
-        be2 = be2_gb[(chromosome, strand)]
-
-        be1 = be1.reset_index(drop=True)
-        be1['search_start'] = be1['position'] - search_range
-        be1['search_end'] = be1['position'] + search_range
-
-        be2 = be2.sort_values('position').reset_index(drop=True)
-
-        idx1, idx2 = remixt_tpu.segalg.interval_position_overlap(
-            be1[['search_start', 'search_end']].values,
-            be2['position'].values)
-
-        matched = pd.DataFrame({'idx1': idx1, 'idx2': idx2})
-        matched = matched.merge(be1[['prediction_id', 'prediction_side']],
-                                left_on='idx1', right_index=True)
-        matched = matched.merge(be2[['prediction_id', 'prediction_side']],
-                                left_on='idx2', right_index=True,
-                                suffixes=('_1', '_2'))
-        matched.drop(['idx1', 'idx2'], axis=1, inplace=True)
-
-        be_matched.append(matched)
-
-    if not be_matched:
-        return pd.DataFrame(columns=['prediction_id_1', 'prediction_id_2'])
-
-    be_matched = pd.concat(be_matched, ignore_index=True)
-
-    matched = []
-    for (id_1, id_2), sides in be_matched.groupby(['prediction_id_1', 'prediction_id_2']):
-        if len(sides.index) != 2:
-            continue
-        if len(sides['prediction_side_1'].unique()) != 2:
-            continue
-        if len(sides['prediction_side_2'].unique()) != 2:
-            continue
-        matched.append((id_1, id_2))
-
-    return pd.DataFrame(matched, columns=['prediction_id_1', 'prediction_id_2'])
+    # a valid match pairs both sides of each prediction, each exactly once
+    side_spans = paired.groupby(['prediction_id_1', 'prediction_id_2']).agg(
+        num_pairings=('prediction_side_1', 'size'),
+        sides_1=('prediction_side_1', 'nunique'),
+        sides_2=('prediction_side_2', 'nunique'))
+    complete = side_spans[(side_spans['num_pairings'] == 2)
+                          & (side_spans['sides_1'] == 2)
+                          & (side_spans['sides_2'] == 2)]
+    return complete.reset_index()[['prediction_id_1', 'prediction_id_2']]

@@ -17,6 +17,14 @@ import remixt_tpu.seqdataio
 import remixt_tpu.utils
 
 
+def _param(config, name):
+    return remixt_tpu.config.get_param(config, name)
+
+
+def _ref_file(config, ref_data_dir, name):
+    return remixt_tpu.config.get_filename(config, ref_data_dir, name)
+
+
 def lowess(y, x, frac=0.2, it=3):
     """Robust locally-weighted linear regression (LOWESS).
 
@@ -65,134 +73,165 @@ def lowess(y, x, frac=0.2, it=3):
     return smoothed
 
 
+class _GenomeCoords(object):
+    """Concatenated-genome coordinate frame over an ordered chromosome set.
+
+    Sampled positions live on the concatenation; helpers split a sorted
+    position vector per chromosome and map back to (chromosome, offset).
+    """
+
+    def __init__(self, chromosome_lengths):
+        self.names = list(chromosome_lengths.keys())
+        lengths = np.array([chromosome_lengths[c] for c in self.names],
+                           dtype=np.int64)
+        self.offsets = np.concatenate([[0], np.cumsum(lengths)])
+        self.total = int(self.offsets[-1])
+
+    def local_slice(self, sorted_positions, chromosome):
+        """(global index slice, chromosome-local positions) of the sorted
+        positions falling on one chromosome."""
+        i = self.names.index(chromosome)
+        lo, hi = np.searchsorted(sorted_positions,
+                                 [self.offsets[i], self.offsets[i + 1]])
+        return slice(lo, hi), sorted_positions[lo:hi] - self.offsets[i]
+
+    def split(self, sorted_positions):
+        """(chromosome name array, local position array)."""
+        which = np.searchsorted(self.offsets[1:], sorted_positions,
+                                side='right')
+        names = np.asarray(self.names, dtype=object)[which]
+        return names, sorted_positions - self.offsets[which]
+
+
+def _window_gc_fractions(sequence, positions, fragment_length,
+                         position_offset):
+    """GC fraction of each sampled fragment's trimmed window.
+
+    The window spans [pos + offset, pos + fragment_length - offset);
+    fragments running past the chromosome end give NaN. Computed by two
+    gathers on the chromosome GC cumulative sum rather than a full-genome
+    sliding difference (reference gcbias.py:50-72).
+    """
+    base = np.frombuffer(sequence.upper().encode(), dtype='S1')
+    cumsum = np.concatenate(
+        [[0], np.cumsum((base == b'G') | (base == b'C'))]).astype(float)
+
+    window = fragment_length - 2 * position_offset
+    hi = positions + fragment_length - position_offset
+    lo = hi - window
+    in_range = hi <= len(base)
+    counts = np.full(positions.shape, np.nan)
+    counts[in_range] = (cumsum[hi[in_range]] - cumsum[lo[in_range]])
+    return counts / float(window)
+
+
+def _accumulate_matching_counts(accumulator, sorted_positions, starts):
+    """Add, per sampled position, how many ``starts`` equal it."""
+    unique_starts, start_counts = np.unique(starts, return_counts=True)
+    hit = np.searchsorted(unique_starts, sorted_positions)
+    matched = (hit < len(unique_starts)) \
+        & (unique_starts[np.minimum(hit, len(unique_starts) - 1)]
+           == sorted_positions)
+    accumulator[matched] += start_counts[hit[matched]]
+
+
 def sample_gc(gc_samples_filename, seqdata_filename, fragment_length, config,
               ref_data_dir):
-    """Sample random genome positions; record GC in the fragment window,
-    mappability, and observed read starts (gcbias.py:12-129)."""
+    """Random-position GC/read-rate sampling table.
+
+    Draws positions uniformly over the concatenated genome, annotates each
+    with the GC fraction of a fragment-sized window and drops unmappable
+    or chromosome-end positions, then counts observed read starts at the
+    surviving positions (parity: reference gcbias.py:12-129).
+    """
     chromosomes = remixt_tpu.config.get_chromosomes(config, ref_data_dir)
-    chromosome_lengths = remixt_tpu.config.get_chromosome_lengths(config, ref_data_dir)
-    num_samples = remixt_tpu.config.get_param(config, 'sample_gc_num_positions')
-    position_offset = remixt_tpu.config.get_param(config, 'gc_position_offset')
-    genome_fasta = remixt_tpu.config.get_filename(config, ref_data_dir, 'genome_fasta')
-    mappability_filename = remixt_tpu.config.get_filename(config, ref_data_dir, 'mappability')
-    filter_duplicates = remixt_tpu.config.get_param(config, 'filter_duplicates')
-    map_qual_threshold = remixt_tpu.config.get_param(config, 'map_qual_threshold')
-
+    coords = _GenomeCoords(
+        remixt_tpu.config.get_chromosome_lengths(config, ref_data_dir))
     fragment_length = int(fragment_length)
-    gc_window = fragment_length - 2 * position_offset
+    position_offset = _param(config, 'gc_position_offset')
+    mappability_filename = _ref_file(config, ref_data_dir, 'mappability')
+    map_qual_threshold = _param(config, 'map_qual_threshold')
 
-    chrom_info = pd.DataFrame({'chrom_length': chromosome_lengths})
-    chrom_info['chrom_end'] = chrom_info['chrom_length'].cumsum()
-    chrom_info['chrom_start'] = chrom_info['chrom_end'] - chrom_info['chrom_length']
+    positions = np.sort(np.random.randint(
+        0, coords.total, _param(config, 'sample_gc_num_positions')))
 
-    genome_length = chrom_info['chrom_length'].sum()
-    sample_pos = np.sort(np.random.randint(0, genome_length, num_samples))
-
-    sample_gc_count = np.zeros(sample_pos.shape)
-    sample_mappability = np.ones(sample_pos.shape)
-    for chrom_id, sequence in remixt_tpu.utils.read_sequences(genome_fasta):
+    gc_fraction = np.full(positions.shape, np.nan)
+    mappable = np.ones(positions.shape)
+    for chrom_id, sequence in remixt_tpu.utils.read_sequences(
+            _ref_file(config, ref_data_dir, 'genome_fasta')):
         if chrom_id not in chromosomes:
             continue
+        window, local = coords.local_slice(positions, chrom_id)
+        gc_fraction[window] = _window_gc_fractions(
+            sequence, local, fragment_length, position_offset)
+        indicator = read_mappability_indicator(
+            mappability_filename, chrom_id, len(sequence),
+            map_qual_threshold)
+        mappable[window] *= indicator[local]
 
-        mappability = read_mappability_indicator(
-            mappability_filename, chrom_id, len(sequence), map_qual_threshold)
+    keep = (mappable > 0) & ~np.isnan(gc_fraction)
+    positions = positions[keep]
+    gc_fraction = gc_fraction[keep]
 
-        chrom_start, chrom_end = chrom_info.loc[chrom_id, ['chrom_start', 'chrom_end']].values
-
-        sequence = np.frombuffer(sequence.upper().encode(), dtype='S1')
-        gc = (sequence == b'G') | (sequence == b'C')
-        gc_count = gc.cumsum()
-        gc_count = gc_count.astype(float)
-        gc_count[gc_window:] = gc_count[gc_window:] - gc_count[:-gc_window]
-
-        gc_count = np.concatenate([gc_count, np.ones(fragment_length) * np.nan])
-
-        chrom_sample_idx = (sample_pos >= chrom_start) & (sample_pos < chrom_end)
-        sample_chrom_pos = sample_pos[chrom_sample_idx] - chrom_start
-
-        sample_mappability[chrom_sample_idx] *= mappability[sample_chrom_pos]
-
-        chrom_window_end = sample_chrom_pos + fragment_length - position_offset - 1
-        sample_gc_count[chrom_sample_idx] += gc_count[chrom_window_end]
-
-    sample_filter = (sample_mappability > 0) & (~np.isnan(sample_gc_count))
-    sample_pos = sample_pos[sample_filter]
-    sample_gc_count = sample_gc_count[sample_filter]
-
-    sample_gc_percent = sample_gc_count / float(gc_window)
-
-    # observed read starts at sampled positions
-    sample_read_count = np.zeros(sample_pos.shape, dtype=int)
+    read_count = np.zeros(positions.shape, dtype=int)
     for chrom_id in remixt_tpu.seqdataio.read_chromosomes(seqdata_filename):
         if chrom_id not in chromosomes:
             continue
+        window, local = coords.local_slice(positions, chrom_id)
+        for chunk in remixt_tpu.seqdataio.read_fragment_data(
+                seqdata_filename, chrom_id,
+                filter_duplicates=_param(config, 'filter_duplicates'),
+                map_qual_threshold=_param(config, 'map_qual_threshold'),
+                chunksize=1000000):
+            _accumulate_matching_counts(
+                read_count[window], local, chunk['start'].values)
 
-        reads_iter = remixt_tpu.seqdataio.read_fragment_data(
-            seqdata_filename, chrom_id,
-            filter_duplicates=filter_duplicates,
-            map_qual_threshold=map_qual_threshold,
-            chunksize=1000000)
-
-        for chrom_reads in reads_iter:
-            chrom_reads = chrom_reads.copy()
-            chrom_reads['start'] += chrom_info.loc[chrom_id, 'chrom_start']
-            sample_read_count += (
-                chrom_reads
-                .groupby('start')['end']
-                .count()
-                .reindex(sample_pos)
-                .fillna(0)
-                .astype(int)
-                .values
-            )
-
-    sample_chrom_idx = np.searchsorted(
-        chrom_info['chrom_end'].values, sample_pos, side='right')
-    sample_chrom = chrom_info.index.values[sample_chrom_idx]
-    sample_chrom_pos = sample_pos - chrom_info['chrom_start'].values[sample_chrom_idx]
-
-    gc_sample_data = pd.DataFrame({
-        'chromosome': sample_chrom,
-        'position': sample_chrom_pos,
-        'gc_percent': sample_gc_percent,
-        'read_count': sample_read_count,
-    })[['chromosome', 'position', 'gc_percent', 'read_count']]
-
-    gc_sample_data.to_csv(gc_samples_filename, sep='\t', header=False, index=False)
+    names, local = coords.split(positions)
+    pd.DataFrame({
+        'chromosome': names,
+        'position': local,
+        'gc_percent': gc_fraction,
+        'read_count': read_count,
+    }).to_csv(gc_samples_filename, sep='\t', header=False, index=False)
 
 
 def gc_lowess(gc_samples_filename, gc_dist_filename, gc_table_filename,
               gc_resolution=100):
-    """Bin sampled positions by GC percent and fit the LOWESS read-rate curve
-    (gcbias.py:132-160)."""
-    gc_samples = pd.read_csv(
+    """LOWESS read-rate-vs-GC curve from the sampled-position table.
+
+    Positions are histogrammed into ``gc_resolution + 1`` GC bins with
+    np.bincount; the per-bin mean read count is LOWESS-smoothed and the
+    whole curve rescaled to unit maximum
+    (parity: reference gcbias.py:132-160).
+    """
+    samples = pd.read_csv(
         gc_samples_filename, sep='\t',
         names=['chromosome', 'position', 'gc', 'count'],
         converters={'chromosome': str})
 
-    gc_samples['gc_bin'] = (gc_samples['gc'] * gc_resolution).round()
+    num_bins = gc_resolution + 1
+    bin_of = np.round(samples['gc'].values * gc_resolution).astype(int)
+    occupancy = np.bincount(bin_of, minlength=num_bins).astype(float)
+    totals = np.bincount(bin_of, weights=samples['count'].values,
+                         minlength=num_bins)
+    with np.errstate(invalid='ignore'):
+        means = np.where(occupancy > 0, totals / occupancy, 0.0)
 
-    gc_binned = (
-        gc_samples.groupby('gc_bin')['count']
-        .agg(['sum', 'size', 'mean'])
-        .rename(columns={'size': 'len'})
-        .reindex(range(gc_resolution + 1))
-        .fillna(0)
-        .reset_index()
-        .rename(columns={'index': 'gc_bin'})
-        .astype(float)
-    )
+    curve = pd.DataFrame({
+        'gc_bin': np.arange(num_bins, dtype=float),
+        'sum': totals,
+        'len': occupancy,
+        'mean': means,
+    })
+    curve['smoothed'] = lowess(means, curve['gc_bin'].values, frac=0.2)
+    assert not curve['smoothed'].isnull().any()
 
-    gc_binned['smoothed'] = lowess(
-        gc_binned['mean'].values, gc_binned['gc_bin'].values, frac=0.2)
-    assert not gc_binned['smoothed'].isnull().any()
+    peak = curve['smoothed'].max()
+    curve[['mean', 'smoothed']] /= peak
 
-    rescale = 1. / gc_binned['smoothed'].max()
-    gc_binned['mean'] = gc_binned['mean'] * rescale
-    gc_binned['smoothed'] = gc_binned['smoothed'] * rescale
-
-    gc_binned.to_csv(gc_table_filename, sep='\t', index=False)
-    gc_binned[['smoothed']].to_csv(gc_dist_filename, sep='\t', index=False, header=False)
+    curve.to_csv(gc_table_filename, sep='\t', index=False)
+    curve[['smoothed']].to_csv(gc_dist_filename, sep='\t', index=False,
+                               header=False)
 
 
 def read_mappability_indicator(mappability_filename, chromosome,
@@ -227,23 +266,30 @@ def read_gc_cumsum(genome_fasta, chromosome):
 
 
 class GCCurve(object):
-    """Piecewise GC probability curve (gcbias.py:193-215)."""
+    """Normalized GC weight curve with vectorized window tables.
+
+    ``table(l)`` returns curve weights for every GC count 0..l of an
+    l-wide window, by one vectorized index computation (the reference
+    evaluates a scalar ``predict`` per count, gcbias.py:193-215).
+    """
 
     def read(self, gc_dist_filename):
-        with open(gc_dist_filename, 'r') as f:
-            self.gc_lowess = np.array(f.readlines(), dtype=float)
-        self.gc_lowess /= self.gc_lowess.sum()
+        values = np.loadtxt(gc_dist_filename, dtype=float, ndmin=1)
+        self.gc_lowess = values / values.sum()
         self.cache = {}
 
     def predict(self, x):
-        idx = np.clip(int(x * float(len(self.gc_lowess) - 1)), 0,
-                      len(self.gc_lowess) - 1)
+        bins = len(self.gc_lowess)
+        idx = min(max(int(x * (bins - 1)), 0), bins - 1)
         return max(self.gc_lowess[idx], 0.0)
 
     def table(self, l):
         if l not in self.cache:
-            self.cache[l] = np.array(
-                [self.predict(float(x) / float(l)) for x in range(0, l + 1)])
+            bins = len(self.gc_lowess)
+            # same float truncation as predict (k/l evaluated in float)
+            idx = np.clip(((np.arange(l + 1) / float(l))
+                           * (bins - 1)).astype(int), 0, bins - 1)
+            self.cache[l] = np.maximum(self.gc_lowess[idx], 0.0)
         return self.cache[l]
 
 
@@ -260,36 +306,35 @@ def gc_map_bias(segment_filename, fragment_mean, fragment_stddev,
 
 def calculate_gc_map_bias(segments, fragment_mean, fragment_stddev,
                           gc_dist_filename, config, ref_data_dir):
-    """Expected read-generation bias per segment (gcbias.py:228-259)."""
-    do_gc = remixt_tpu.config.get_param(config, 'do_gc_correction')
-    do_map = remixt_tpu.config.get_param(config, 'do_mappability_correction')
+    """Expected read-generation bias per segment (gcbias.py:228-259).
 
-    position_offset = remixt_tpu.config.get_param(config, 'gc_position_offset')
-    genome_fasta = remixt_tpu.config.get_filename(config, ref_data_dir, 'genome_fasta')
-    mappability_filename = remixt_tpu.config.get_filename(config, ref_data_dir, 'mappability')
-    map_qual_threshold = remixt_tpu.config.get_param(config, 'map_qual_threshold')
-    read_length = remixt_tpu.config.get_param(config, 'mappability_length')
+    The fragment-length distribution is truncated to its central 98% and
+    stepped coarsely; each segment integrates per-position generation
+    probabilities over it.
+    """
+    gc_curve = GCCurve()
+    gc_curve.read(gc_dist_filename)
 
-    gc_dist = GCCurve()
-    gc_dist.read(gc_dist_filename)
+    length_dist = scipy.stats.norm(fragment_mean, fragment_stddev)
+    length_lo = int(length_dist.ppf(0.01) - 1.)
+    length_hi = int(length_dist.ppf(0.99) + 1.)
 
-    fragment_dist = scipy.stats.norm(fragment_mean, fragment_stddev)
-    fragment_min = int(fragment_dist.ppf(0.01) - 1.)
-    fragment_max = int(fragment_dist.ppf(0.99) + 1.)
-    fragment_step = 10
-
+    mappability_filename = _ref_file(config, ref_data_dir, 'mappability')
     for chromosome, chrom_seg in segments.groupby('chromosome', sort=False):
-        gc_cumsum = read_gc_cumsum(genome_fasta, chromosome)
-        chromosome_length = gc_cumsum.shape[0]
+        gc_cumsum = read_gc_cumsum(
+            _ref_file(config, ref_data_dir, 'genome_fasta'), chromosome)
         mappability = read_mappability_indicator(
-            mappability_filename, chromosome, chromosome_length, map_qual_threshold)
+            mappability_filename, chromosome, gc_cumsum.shape[0],
+            _param(config, 'map_qual_threshold'))
 
         for idx, (start, end) in chrom_seg[['start', 'end']].iterrows():
             segments.loc[idx, 'bias'] = calculate_segment_gc_map_bias(
                 gc_cumsum[start:end], mappability[start:end],
-                gc_dist, fragment_dist, fragment_min, fragment_max,
-                fragment_step, position_offset, read_length,
-                do_gc=do_gc, do_map=do_map)
+                gc_curve, length_dist, length_lo, length_hi, 10,
+                _param(config, 'gc_position_offset'),
+                _param(config, 'mappability_length'),
+                do_gc=_param(config, 'do_gc_correction'),
+                do_map=_param(config, 'do_mappability_correction'))
 
     return segments
 

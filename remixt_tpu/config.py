@@ -1,65 +1,83 @@
 """Layered configuration access.
 
-Semantics match the reference (/root/reference/remixt/config.py:5-59): module
-defaults overlaid by a user-supplied YAML dict, filename template expansion
-against the full config plus ``ref_data_dir``, and per-sample overrides under
-the ``sample_specific`` key.
+Semantics parity with /root/reference/remixt/config.py:5-59: module-level
+defaults (defaults.py) overlaid by the user's YAML dict, ``*_filename``
+overrides taking precedence over ``*_template`` expansion against the full
+config plus ``ref_data_dir``, and per-sample overrides nested under the
+``sample_specific`` key.
 """
 
 import remixt_tpu.defaults
 import remixt_tpu.utils
 
 
+def _default_params():
+    return {name: value
+            for name, value in vars(remixt_tpu.defaults).items()
+            if not name.startswith('_')}
+
+
 def get_full_config(config):
-    full_config = {
-        k: v for k, v in vars(remixt_tpu.defaults).items()
-        if not k.startswith('_')
-    }
-    full_config.update(config)
-    return full_config
+    """Defaults overlaid with the user config (user wins)."""
+    return {**_default_params(), **config}
 
 
 def get_param(config, name):
-    return get_full_config(config)[name]
+    """One parameter, user value or default; KeyError when unknown."""
+    if name in config:
+        return config[name]
+    return _default_params()[name]
 
 
 def get_filename(config, ref_data_dir, name, **kwargs):
-    full_config = get_full_config(config)
-    full_config.update(kwargs)
-    full_config['ref_data_dir'] = ref_data_dir
-    if name + '_filename' in full_config:
-        return full_config[name + '_filename']
-    elif name + '_template' in full_config:
-        return full_config[name + '_template'].format(**full_config)
+    """Resolve a reference-data filename.
+
+    ``<name>_filename`` in the config wins outright; otherwise
+    ``<name>_template`` is format-expanded against the full config,
+    ``ref_data_dir`` and any extra keyword fields (e.g. chromosome).
+    """
+    full = get_full_config(config)
+    if name + '_filename' in full:
+        return full[name + '_filename']
+    template = full.get(name + '_template')
+    if template is not None:
+        return template.format(**{**full, **kwargs,
+                                  'ref_data_dir': ref_data_dir})
+    return None
 
 
 def get_chromosome_lengths(config, ref_data_dir):
-    genome_fai = get_filename(config, ref_data_dir, 'genome_fai')
-    chromosome_lengths = remixt_tpu.utils.read_chromosome_lengths(genome_fai)
+    """Configured chromosomes with their FASTA-index lengths; validates the
+    configured set and its chr-prefix convention against the index."""
+    lengths = remixt_tpu.utils.read_chromosome_lengths(
+        get_filename(config, ref_data_dir, 'genome_fai'))
 
-    chromosomes = set(get_param(config, 'chromosomes'))
+    wanted = set(get_param(config, 'chromosomes'))
+    missing = wanted - set(lengths)
+    assert not missing, 'chromosomes {} absent from genome index'.format(
+        sorted(missing))
 
-    assert chromosomes.issubset(set(chromosome_lengths.keys()))
-
-    chr_name_prefix = get_param(config, 'chr_name_prefix')
-    if chr_name_prefix == 'chr':
-        assert all(c.startswith('chr') for c in chromosomes)
-    elif chr_name_prefix == '':
-        assert not any(c.startswith('chr') for c in chromosomes)
+    prefix = get_param(config, 'chr_name_prefix')
+    prefixed = {c for c in wanted if str(c).startswith('chr')}
+    if prefix == 'chr':
+        assert prefixed == wanted
+    elif prefix == '':
+        assert not prefixed
     else:
-        raise ValueError(f'unrecognized chr_name_prefix {chr_name_prefix}')
+        raise ValueError(
+            'unrecognized chr_name_prefix {}'.format(prefix))
 
-    return {
-        chrom: length for chrom, length in chromosome_lengths.items()
-        if chrom in chromosomes
-    }
+    return {chromosome: length for chromosome, length in lengths.items()
+            if chromosome in wanted}
 
 
 def get_chromosomes(config, ref_data_dir):
+    """Configured chromosome names, in genome-index order."""
     return list(get_chromosome_lengths(config, ref_data_dir).keys())
 
 
 def get_sample_config(config, sample_id):
-    sample_config = config.copy()
-    sample_config.update(config.get('sample_specific', dict()).get(sample_id, dict()))
-    return sample_config
+    """Config with this sample's ``sample_specific`` overrides applied."""
+    merged = dict(config)
+    merged.update(config.get('sample_specific', {}).get(sample_id, {}))
+    return merged

@@ -1,10 +1,15 @@
 """Mappability pipeline tasks: genome k-mer tiling, realignment bedgraph,
-HDF5 store. Mirrors /root/reference/remixt/mappability/tasks.py:9-88; the
-store is h5py-based (group ``chromosome_X`` with start/end/quality datasets)
-read back by analysis.gcbias.read_mappability_indicator.
+HDF5 store.
+
+Capability parity with /root/reference/remixt/mappability/tasks.py:9-88.
+The bedgraph step run-length-encodes per-position mapping quality with
+vectorized numpy boundary detection (the reference uses a pandas
+diff/groupby-apply chain), and the store is h5py-based (group
+``chromosome_X`` with start/end/quality datasets) read back by
+analysis.gcbias.read_mappability_indicator.
 """
 
-import csv
+import itertools
 
 import numpy as np
 import pandas as pd
@@ -14,102 +19,103 @@ import remixt_tpu.utils
 
 
 def create_kmers(genome_fasta, k, kmers_filename):
-    """FASTA of every k-mer in the genome, named chromosome:start."""
+    """FASTA of every N-free k-mer in the genome, named chromosome:start."""
     with open(kmers_filename, 'w') as kmers_file:
-        for chromosome, sequence in remixt_tpu.utils.read_sequences(genome_fasta):
+        for chromosome, sequence in remixt_tpu.utils.read_sequences(
+                genome_fasta):
             chromosome = chromosome.split()[0]
             sequence = sequence.upper()
-            for start in range(len(sequence) - k + 1):
-                kmer = sequence[start:start + k]
-                if 'N' in kmer:
-                    continue
-                kmers_file.write('>{0}:{1}\n{2}\n'.format(chromosome, start, kmer))
+            kmers_file.writelines(
+                '>{0}:{1}\n{2}\n'.format(
+                    chromosome, start, sequence[start:start + k])
+                for start in range(len(sequence) - k + 1)
+                if 'N' not in sequence[start:start + k])
 
 
 def split_file_byline(in_filename, lines_per_file, out_filename_callback):
-    """Shard a text file into chunks of lines_per_file lines."""
+    """Shard a text file into consecutive ``lines_per_file`` chunks."""
     with open(in_filename, 'r') as in_file:
-        file_number = 0
-        out_file = None
-        out_file_lines = None
-        try:
-            for line in in_file:
-                if out_file is None or out_file_lines == lines_per_file:
-                    if out_file is not None:
-                        out_file.close()
-                    out_file = open(out_filename_callback(file_number), 'w')
-                    out_file_lines = 0
-                    file_number += 1
-                out_file.write(line)
-                out_file_lines += 1
-        finally:
-            if out_file is not None:
-                out_file.close()
+        for shard in itertools.count():
+            lines = list(itertools.islice(in_file, lines_per_file))
+            if not lines:
+                break
+            with open(out_filename_callback(shard), 'w') as out_file:
+                out_file.writelines(lines)
+
+
+def _origin_true_alignments(alignment_filename):
+    """(chromosome, position, quality) of k-mers that realign exactly to
+    their origin position (the k-mer read name encodes it)."""
+    names, chroms, positions, quals = [], [], [], []
+    with open(alignment_filename, 'r') as alignment_file:
+        for line in alignment_file:
+            if line.startswith('@'):
+                continue
+            fields = line.split('\t', 5)
+            names.append(fields[0])
+            chroms.append(fields[2])
+            positions.append(int(fields[3]) - 1)  # SAM is 1-based
+            quals.append(int(fields[4]))
+
+    table = pd.DataFrame({
+        'name': names, 'chromosome': chroms,
+        'position': positions, 'quality': quals})
+    origin = table['name'].str.rsplit(':', n=1, expand=True)
+    at_origin = ((origin[0] == table['chromosome'])
+                 & (origin[1].astype(int) == table['position']))
+    return table.loc[at_origin, ['chromosome', 'position', 'quality']]
+
+
+def _run_length_encode(table):
+    """Collapse consecutive same-quality positions into intervals.
+
+    The table must be sorted by (chromosome, position); a new interval
+    opens when the chromosome changes, a position is skipped, or the
+    quality changes.
+    """
+    chrom = table['chromosome'].values
+    pos = table['position'].values
+    qual = table['quality'].values
+
+    opens = np.ones(len(pos), dtype=bool)
+    opens[1:] = ((chrom[1:] != chrom[:-1])
+                 | (pos[1:] != pos[:-1] + 1)
+                 | (qual[1:] != qual[:-1]))
+    start_idx = np.flatnonzero(opens)
+    end_idx = np.concatenate([start_idx[1:], [len(pos)]]) - 1
+
+    return pd.DataFrame({
+        'chromosome': chrom[start_idx],
+        'start': pos[start_idx],
+        'end': pos[end_idx] + 1,
+        'quality': qual[start_idx],
+    })
 
 
 def create_bedgraph(alignment_filename, bedgraph_filename):
-    """Keep k-mers realigning to their origin; run-length-encode per-position
-    mapping quality into bedgraph intervals."""
-    mqual_table = []
-    with open(alignment_filename, 'r') as alignment_file:
-        for row in csv.reader(alignment_file, delimiter='\t'):
-            if row[0][0] == '@':
-                continue
-            origin_chromosome = row[0].rsplit(':', maxsplit=1)[0]
-            origin_position = int(row[0].rsplit(':', maxsplit=1)[1])
-            mapping_chromosome = row[2]
-            mapping_position = int(row[3]) - 1   # 0-based positions
-            mapping_quality = int(row[4])
-            if origin_chromosome != mapping_chromosome:
-                continue
-            if origin_position != mapping_position:
-                continue
-            mqual_table.append((origin_chromosome, origin_position, mapping_quality))
-
-    mqual_table = pd.DataFrame(
-        mqual_table, columns=['chromosome', 'position', 'quality'])
-    mqual_table['chromosome_index'] = np.searchsorted(
-        np.unique(mqual_table['chromosome']), mqual_table['chromosome'])
-    mqual_table.sort_values(['chromosome_index', 'position'], inplace=True)
-    mqual_table['chromosome_diff'] = mqual_table['chromosome_index'].diff()
-    mqual_table['position_diff'] = mqual_table['position'].diff() - 1
-    mqual_table['quality_diff'] = mqual_table['quality'].diff()
-    mqual_table['is_diff'] = (
-        mqual_table[['chromosome_diff', 'position_diff', 'quality_diff']]
-        .sum(axis=1) != 0)
-    mqual_table['group'] = mqual_table['is_diff'].cumsum()
-
-    def agg_positions(data):
-        return pd.Series({
-            'chromosome': data['chromosome'].iloc[0],
-            'start': data['position'].min(),
-            'end': data['position'].max() + 1,
-            'quality': data['quality'].iloc[0],
-        })
-
-    mqual_table = mqual_table.groupby('group').apply(agg_positions)
-    mqual_table.to_csv(
+    """Origin-faithful k-mer realignments → per-position mapping-quality
+    bedgraph intervals."""
+    aligned = _origin_true_alignments(alignment_filename)
+    aligned = aligned.sort_values(['chromosome', 'position'],
+                                  kind='mergesort')
+    _run_length_encode(aligned).to_csv(
         bedgraph_filename, sep='\t', index=False, header=False,
         columns=['chromosome', 'start', 'end', 'quality'])
 
 
 def merge_files_by_line(in_filenames, out_filename):
     """Merge bedgraph shards into the mappability HDF5 store."""
-    chrom_tables = {}
-    for in_filename in in_filenames.values():
-        data = pd.read_csv(
-            in_filename, sep='\t', header=None,
-            names=['chromosome', 'start', 'end', 'quality'],
-            converters={'chromosome': str})
-        for chromosome, chrom_data in data.groupby('chromosome'):
-            chrom_tables.setdefault(chromosome, []).append(
-                chrom_data[['start', 'end', 'quality']])
+    shards = pd.concat(
+        [pd.read_csv(name, sep='\t', header=None,
+                     names=['chromosome', 'start', 'end', 'quality'],
+                     converters={'chromosome': str})
+         for name in in_filenames.values()],
+        ignore_index=True)
 
     with h5py.File(out_filename, 'w') as store:
-        for chromosome, tables in chrom_tables.items():
-            table = pd.concat(tables, ignore_index=True)
+        for chromosome, chrom_data in shards.groupby('chromosome'):
             group = store.create_group('chromosome_' + chromosome)
-            for col in ['start', 'end', 'quality']:
+            for column in ('start', 'end', 'quality'):
                 group.create_dataset(
-                    col, data=table[col].values.astype(np.int64),
+                    column, data=chrom_data[column].values.astype(np.int64),
                     compression='gzip', compression_opts=4)

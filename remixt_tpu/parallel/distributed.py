@@ -26,9 +26,16 @@ import jax
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """Initialize the jax.distributed runtime (no-op if already up)."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    """Initialize the jax.distributed runtime (no-op if already up).
+
+    Must run before any backend use: probing ``jax.process_count()`` here
+    would itself initialize a single-process backend and make the
+    distributed runtime unreachable, so the already-up check goes through
+    ``jax.distributed.is_initialized`` (tests/test_multihost.py covers the
+    2-process bring-up).
+    """
+    if jax.distributed.is_initialized():
+        return  # already brought up by the launcher
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(coordinator_address=coordinator_address,
@@ -36,8 +43,10 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):
-        # single-process environments (tests, one-host runs) are fine
-        pass
+        # single-process environments with no coordinator (tests,
+        # one-host runs) are fine
+        if coordinator_address is not None:
+            raise
 
 
 def factor_devices(n_devices, num_restarts=None, num_blocks=None):

@@ -281,3 +281,112 @@ def test_gc_lowess_task(tmp_path):
     assert np.nanmax(curve) <= 1.0 + 1e-9
     # curve should peak near gc=0.45
     assert abs(int(np.argmax(curve)) - 45) <= 10
+
+
+def test_window_gc_fractions_brute_force():
+    """Gather-based window GC vs a direct per-position count."""
+    rng = np.random.RandomState(4)
+    sequence = ''.join(rng.choice(list('ACGT'), size=200))
+    fragment_length, offset = 20, 3
+    positions = np.array([0, 5, 50, 170, 179, 180, 181, 199])
+
+    got = gcbias_mod._window_gc_fractions(
+        sequence, positions, fragment_length, offset)
+
+    window = fragment_length - 2 * offset
+    for p, g in zip(positions, got):
+        lo, hi = p + offset, p + fragment_length - offset
+        if p + fragment_length - offset > len(sequence):
+            assert np.isnan(g)
+        else:
+            expected = sum(c in 'GC' for c in sequence[lo:hi]) / window
+            np.testing.assert_allclose(g, expected)
+
+
+def test_accumulate_matching_counts():
+    acc = np.zeros(5, dtype=int)
+    positions = np.array([10, 20, 20, 30, 40])
+    gcbias_mod._accumulate_matching_counts(
+        acc, positions, np.array([20, 20, 20, 30, 99]))
+    np.testing.assert_array_equal(acc, [0, 3, 3, 1, 0])
+
+
+def test_genome_coords_roundtrip():
+    coords = gcbias_mod._GenomeCoords({'1': 100, '2': 50, 'X': 25})
+    assert coords.total == 175
+    positions = np.array([0, 99, 100, 149, 150, 174])
+    names, local = coords.split(positions)
+    np.testing.assert_array_equal(names, ['1', '1', '2', '2', 'X', 'X'])
+    np.testing.assert_array_equal(local, [0, 99, 0, 49, 0, 24])
+    sl, loc = coords.local_slice(positions, '2')
+    assert (sl.start, sl.stop) == (2, 4)
+    np.testing.assert_array_equal(loc, [0, 49])
+
+
+def test_gc_curve_table_matches_predict(tmp_path):
+    rng = np.random.RandomState(6)
+    dist_file = str(tmp_path / 'dist.tsv')
+    np.savetxt(dist_file, rng.rand(101))
+    curve = gcbias_mod.GCCurve()
+    curve.read(dist_file)
+    for l in (7, 100, 345):
+        table = curve.table(l)
+        expected = [curve.predict(k / l) for k in range(l + 1)]
+        np.testing.assert_allclose(table, expected)
+
+
+def test_mappability_bedgraph_roundtrip(tmp_path):
+    """Synthetic SAM -> bedgraph -> merged store -> indicator array."""
+    import remixt_tpu.mappability.tasks as map_tasks
+
+    sam = str(tmp_path / 'aln.sam')
+    rows = [
+        '@SQ\tSN:1\tLN:100',
+        # origin-faithful: contiguous qualities 60,60,60 then 10
+        '1:0\t0\t1\t1\t60\t5M',
+        '1:1\t0\t1\t2\t60\t5M',
+        '1:2\t0\t1\t3\t60\t5M',
+        '1:3\t0\t1\t4\t10\t5M',
+        # gap at 4, then one more at 5
+        '1:5\t0\t1\t6\t60\t5M',
+        # realigns elsewhere: dropped
+        '1:7\t0\t1\t9\t60\t5M',
+        # other chromosome
+        '2:0\t0\t2\t1\t60\t5M',
+    ]
+    with open(sam, 'w') as f:
+        f.write('\n'.join(rows) + '\n')
+
+    bedgraph = str(tmp_path / 'map.bed')
+    map_tasks.create_bedgraph(sam, bedgraph)
+    table = pd.read_csv(bedgraph, sep='\t', header=None,
+                        names=['chromosome', 'start', 'end', 'quality'],
+                        converters={'chromosome': str})
+    expected = [('1', 0, 3, 60), ('1', 3, 4, 10), ('1', 5, 6, 60),
+                ('2', 0, 1, 60)]
+    assert [tuple(r) for r in table.itertuples(index=False)] == expected
+
+    store = str(tmp_path / 'map.h5')
+    map_tasks.merge_files_by_line({'only': bedgraph}, store)
+    indicator = gcbias_mod.read_mappability_indicator(store, '1', 10, 60)
+    np.testing.assert_array_equal(indicator, [1, 1, 1, 0, 0, 1, 0, 0, 0, 0])
+
+
+def test_split_file_byline(tmp_path):
+    import remixt_tpu.mappability.tasks as map_tasks
+
+    src = str(tmp_path / 'in.txt')
+    with open(src, 'w') as f:
+        f.writelines(f'line{i}\n' for i in range(7))
+    out_names = []
+
+    def namer(i):
+        name = str(tmp_path / f'shard{i}.txt')
+        out_names.append(name)
+        return name
+
+    map_tasks.split_file_byline(src, 3, namer)
+    assert len(out_names) == 3
+    contents = [open(n).read() for n in out_names]
+    assert contents == ['line0\nline1\nline2\n',
+                        'line3\nline4\nline5\n', 'line6\n']

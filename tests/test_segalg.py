@@ -122,3 +122,70 @@ def test_aggregate_adjacent():
     assert list(agg['end']) == [20, 40]
     # length weighted average of major_raw over the second group
     np.testing.assert_allclose(agg['major_raw'].values[1], (2.2 * 30 + 1.8 * 10) / 40)
+
+
+def test_breakpoint_database_fuzzy_query():
+    import pandas as pd
+    from remixt_tpu.utils import BreakpointDatabase
+
+    table = pd.DataFrame({
+        'prediction_id': ['a', 'b'],
+        'chromosome_1': ['1', '1'], 'strand_1': ['+', '+'],
+        'position_1': [1000, 5000],
+        'chromosome_2': ['2', '1'], 'strand_2': ['-', '-'],
+        'position_2': [2000, 9000],
+    })
+    db = BreakpointDatabase(table)
+
+    exact = {'chromosome_1': '1', 'strand_1': '+', 'position_1': 1000,
+             'chromosome_2': '2', 'strand_2': '-', 'position_2': 2000}
+    assert db.query(exact, extend=0) == 'a'
+    # sides swapped relative to the database entry still match
+    swapped = {'chromosome_1': '2', 'strand_1': '-', 'position_1': 2000,
+               'chromosome_2': '1', 'strand_2': '+', 'position_2': 1000}
+    assert db.query(swapped, extend=0) == 'a'
+    # within the fuzzy window
+    fuzzy = dict(exact, position_1=1004, position_2=1997)
+    assert db.query(fuzzy, extend=0) is None
+    assert db.query(fuzzy, extend=5) == 'a'
+    # both breakends must belong to the same prediction on opposite sides
+    cross = dict(exact, position_1=5000, chromosome_2='2')
+    assert db.query(cross, extend=0) is None
+    near_b = {'chromosome_1': '1', 'strand_1': '+', 'position_1': 5001,
+              'chromosome_2': '1', 'strand_2': '-', 'position_2': 8999}
+    assert db.query(near_b, extend=2) == 'b'
+
+
+def test_match_breakpoints_fuzzy():
+    import pandas as pd
+    from remixt_tpu.analysis.breakpoints import match_breakpoints
+
+    def bp_table(rows):
+        return pd.DataFrame(rows, columns=[
+            'prediction_id', 'chromosome_1', 'strand_1', 'position_1',
+            'chromosome_2', 'strand_2', 'position_2'])
+
+    bp1 = bp_table([
+        ('p1', '1', '+', 1000, '2', '-', 5000),
+        ('p2', '1', '+', 9000, '1', '-', 12000),
+    ])
+    bp2 = bp_table([
+        # matches p1 with both ends shifted within range
+        ('q1', '1', '+', 1100, '2', '-', 4950),
+        # one end out of range of p2
+        ('q2', '1', '+', 9100, '1', '-', 13000),
+        # wrong strand on one end
+        ('q3', '1', '-', 1000, '2', '-', 5000),
+    ])
+
+    matched = match_breakpoints(bp1, bp2, search_range=400)
+    assert [tuple(r) for r in matched.itertuples(index=False)] == [
+        ('p1', 'q1')]
+
+    # sides swapped still matches
+    bp2_swapped = bp_table([('q4', '2', '-', 5000, '1', '+', 1000)])
+    matched = match_breakpoints(bp1, bp2_swapped, search_range=400)
+    assert [tuple(r) for r in matched.itertuples(index=False)] == [
+        ('p1', 'q4')]
+
+    assert match_breakpoints(bp1, bp_table([]), search_range=400).empty
