@@ -42,7 +42,10 @@ ORACLE_BASELINE_N = 512
 # overridable for smoke-testing the driver on small problems
 TPU_N = int(os.environ.get('BENCH_N', 6000))
 TPU_EVENTS = int(os.environ.get('BENCH_EVENTS', 300))
-NUM_RESTARTS = int(os.environ.get('BENCH_RESTARTS', 12))
+NUM_RESTARTS = int(os.environ.get('BENCH_RESTARTS', 24))
+# aggregate-throughput-optimal restart wave (RESTART_SCALING.json); the
+# production grid driver chunks at this size (defaults.restart_chunk_size)
+WAVE_RESTARTS = int(os.environ.get('BENCH_WAVE', 8))
 
 
 def log(msg):
@@ -140,6 +143,50 @@ def time_restart_batched_sweep(spec, params, state, num_restarts, iters=5):
             s = sweeps_b(params_b, s)
         jax.block_until_ready(s)
         run.last = s
+
+    dt = median_time(run, iters) / block
+    assert np.all(np.isfinite(np.asarray(run.last.hmm_log_norm_const)))
+    return num_restarts * spec.N / dt
+
+
+def time_restart_waves_sweep(spec, params, state, num_restarts, wave,
+                             iters=5):
+    """Aggregate sweep throughput of a realistic restart grid run in
+    sequential WAVES of the throughput-optimal size (the production
+    chunking: fit_batched rounds restart_chunk_size to the wave).
+
+    Aggregate throughput past the kernel's R-knee (RESTART_SCALING.json:
+    peak at R=8, falling to R=12, VMEM-OOM ≥24) is recovered by running
+    ceil(R/wave) dispatches of the same compiled wave-sized block.
+    """
+    import functools
+    import jax
+    from remixt_tpu.parallel import restarts as par
+    from remixt_tpu.models import engine as eng
+
+    rng = np.random.RandomState(0)
+    waves = []
+    r_total = 0
+    while r_total < num_restarts:
+        r_wave = min(wave, num_restarts - r_total)
+        params_b = par.stack_pytrees([
+            params._replace(h=params.h * (1.0 + 0.2 * rng.rand()))
+            for _ in range(wave)])  # padded to the wave (production pads)
+        waves.append(params_b)
+        r_total += r_wave
+
+    state_b = par.stack_pytrees([state] * wave)
+    block = 5
+    sweeps_b = jax.jit(functools.partial(
+        eng.variational_sweeps_restarts, spec, num_sweeps=block))
+    out0 = sweeps_b(waves[0], state_b)
+    jax.block_until_ready(out0)
+
+    def run(n):
+        for _ in range(n):
+            for params_b in waves:
+                run.last = sweeps_b(params_b, state_b)
+        jax.block_until_ready(run.last)
 
     dt = median_time(run, iters) / block
     assert np.all(np.isfinite(np.asarray(run.last.hmm_log_norm_const)))
@@ -330,9 +377,16 @@ def main():
     detail['single_restart_segments_per_s'] = round(
         time_single_sweep(spec, params, state), 1)
 
-    log('timing restart-batched sweep (R={})...'.format(NUM_RESTARTS))
+    log('timing restart-batched sweep (R={})...'.format(WAVE_RESTARTS))
+    detail['wave_restarts'] = WAVE_RESTARTS
     detail['restart_batched_segments_per_s'] = round(
-        time_restart_batched_sweep(spec, params, state, NUM_RESTARTS), 1)
+        time_restart_batched_sweep(spec, params, state, WAVE_RESTARTS), 1)
+
+    log('timing restart grid in waves (R={} in waves of {})...'.format(
+        NUM_RESTARTS, WAVE_RESTARTS))
+    detail['restart_grid_segments_per_s'] = round(
+        time_restart_waves_sweep(spec, params, state, NUM_RESTARTS,
+                                 WAVE_RESTARTS), 1)
 
     log('pallas parity...')
     parity = pallas_parity(spec, params)
@@ -365,14 +419,16 @@ def main():
         json.dump(detail, f, indent=2)
 
     headline = max(detail['single_restart_segments_per_s'],
-                   detail['restart_batched_segments_per_s'])
+                   detail['restart_grid_segments_per_s'])
     result = {
         'metric': 'e_step_segments_per_s_per_chip',
         'value': headline,
-        'unit': ('segments/s (best of fused single-restart and R={R} '
-                 'restart-batched VI sweep, N~{N} S=355 M=3 K={K}, '
-                 '23 chains, f32; baseline = same engine 1 CPU core; see '
-                 .format(R=NUM_RESTARTS, N=spec.N, K=TPU_EVENTS) +
+        'unit': ('segments/s (best of fused single-restart and the R={R} '
+                 'restart grid swept in waves of {W}, N~{N} S=355 M=3 '
+                 'K={K}, 23 chains, f32; baseline = same engine 1 CPU '
+                 'core; see '
+                 .format(R=NUM_RESTARTS, W=WAVE_RESTARTS, N=spec.N,
+                         K=TPU_EVENTS) +
                  'BENCH_DETAIL.json for per-path, full-fit, pallas-parity '
                  'and f64-oracle-baseline numbers)'),
         'vs_baseline': round(headline / cpu_segs, 2),

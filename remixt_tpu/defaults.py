@@ -163,9 +163,12 @@ use_pallas_fb = True
 # than one restart at a time
 batch_restarts = True
 
-# Restarts advanced together per batched chunk (memory-bound; rounded up to
-# a multiple of the device count on multi-device hosts)
-restart_chunk_size = 12
+# Restarts advanced together per batched chunk — the measured aggregate-
+# throughput optimum of the grouped kernel's restart axis (wave size;
+# RESTART_SCALING.json peaks at R=8, falls past it, and VMEM-OOMs >=24,
+# so bigger grids run as sequential waves of this size). Rounded up to a
+# multiple of the device count on multi-device hosts.
+restart_chunk_size = 8
 
 # Shard the restart batch over all local devices when more than one is
 # visible (the TPU-native analogue of the reference's per-restart cluster

@@ -199,15 +199,19 @@ def _make_h_update(spec):
             return (h_next, step_next), None
 
         rel0 = jnp.asarray(0.25, dtype=params.h.dtype)
-        (h_fin, _), _ = jax.lax.scan(outer, (params.h, rel0), None,
-                                     length=n_outer)
+        # named scopes label the HLO for profiler attribution
+        # (tools/fit_budget.py --trace)
+        with jax.named_scope('em_h_search'):
+            (h_fin, _), _ = jax.lax.scan(outer, (params.h, rel0), None,
+                                         length=n_outer)
 
         def obj_full(h):
             return eng.expected_log_likelihood(
                 spec, params._replace(h=h), state, full)
 
-        accept = obj_full(h_fin) >= obj_full(params.h)
-        h_out = jnp.where(accept, h_fin, params.h)
+        with jax.named_scope('em_h_full_guard'):
+            accept = obj_full(h_fin) >= obj_full(params.h)
+            h_out = jnp.where(accept, h_fin, params.h)
         return params._replace(h=h_out), accept
 
     return f
@@ -281,11 +285,14 @@ def _make_params_update(spec, names, bounds):
 
     def f(params, state, sample_idxs):
         running = {}
-        for half, n_comp in (('total', 2), ('allele', 4)):
-            vals = eng.expected_log_likelihood_components(
-                spec, params, state, half, tuple(range(n_comp)))
-            for c, v in zip(range(n_comp), vals):
-                running[(half, c)] = v
+        # named scopes label the HLO for profiler attribution
+        # (tools/fit_budget.py --trace)
+        with jax.named_scope('em_running_components'):
+            for half, n_comp in (('total', 2), ('allele', 4)):
+                vals = eng.expected_log_likelihood_components(
+                    spec, params, state, half, tuple(range(n_comp)))
+                for c, v in zip(range(n_comp), vals):
+                    running[(half, c)] = v
         accepts = []
         for i, name in enumerate(names):
             lo_c, hi_c = bounds[name]
@@ -312,27 +319,32 @@ def _make_params_update(spec, names, bounds):
             init = (jnp.asarray(lo_c, spec.dtype),
                     jnp.asarray(hi_c, spec.dtype),
                     getattr(params, name))
-            (_, _, best), _ = jax.lax.scan(level, init, None, length=levels)
+            with jax.named_scope('em_grid_zoom'):
+                (_, _, best), _ = jax.lax.scan(level, init, None,
+                                               length=levels)
 
-            cand_vals = eng.expected_log_likelihood_components(
-                spec, params._replace(**{name: best}), state, half, comps)
-            cand_sum = sum(cand_vals)
-            run_sum = sum(running[(half, c)] for c in comps)
-            accept = cand_sum >= run_sum
-            new_val = jnp.where(accept, best, getattr(params, name))
-            params = params._replace(**{name: new_val})
-            for c, v in zip(comps, cand_vals):
-                running[(half, c)] = jnp.where(accept, v, running[(half, c)])
+            with jax.named_scope('em_candidate_guard'):
+                cand_vals = eng.expected_log_likelihood_components(
+                    spec, params._replace(**{name: best}), state, half, comps)
+                cand_sum = sum(cand_vals)
+                run_sum = sum(running[(half, c)] for c in comps)
+                accept = cand_sum >= run_sum
+                new_val = jnp.where(accept, best, getattr(params, name))
+                params = params._replace(**{name: new_val})
+                for c, v in zip(comps, cand_vals):
+                    running[(half, c)] = jnp.where(
+                        accept, v, running[(half, c)])
             accepts.append(accept)
         # the running components sum to exactly the ELBO's two emission
         # contractions for the final params — assembling the iteration's
         # ELBO here costs only the state-only terms and saves the fit
         # loop a separate full-emission ELBO dispatch
-        elbo = eng.calculate_elbo_from_halves(
-            spec, params, state,
-            running[('total', 0)] + running[('total', 1)],
-            running[('allele', 0)] + running[('allele', 1)]
-            + running[('allele', 2)] + running[('allele', 3)])
+        with jax.named_scope('em_elbo_assembly'):
+            elbo = eng.calculate_elbo_from_halves(
+                spec, params, state,
+                running[('total', 0)] + running[('total', 1)],
+                running[('allele', 0)] + running[('allele', 1)]
+                + running[('allele', 2)] + running[('allele', 3)])
         return params, jnp.stack(accepts), elbo
 
     return f

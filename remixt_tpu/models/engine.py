@@ -496,10 +496,27 @@ def _total_emission_plane(spec, params, rows, u):
     r = jnp.where(hdel, r_hdel, r_plain)
     nb_p = mu_safe / (r + mu_safe)
     nb_p = jnp.where((nb_p < 0.0) | (nb_p > 1.0), 0.5, nb_p)
-    lg_xr = jnp.where(hdel, lgamma(xc + r_hdel), lgamma(xc + r_plain))
     lg_r = jnp.where(hdel, lgamma(r_hdel), lgamma(r_plain))
-    ll = (lg_xr - lg_x1 - lg_r
-          + xc * jnp.log(nb_p) + r * jnp.log1p(-nb_p))
+    if spec.dtype == jnp.float32:
+        # float32 accuracy: the count lgammas reach ~2e6 at whole-genome
+        # read counts, so their separately-rounded difference carries an
+        # O(0.1) COMPONENT-DEPENDENT error (r differs per outlier
+        # component u) that produced the round-3 5e-2 outlier-posterior
+        # plateau (ACCURACY.json). lgamma_shift combines them
+        # cancellation-free, and the two log terms are rewritten so no
+        # intermediate is evaluated near log(1) at huge x
+        # (x·log(nb_p) = -x·log1p(r/mu); r·log1p(-nb_p) = r·(log r -
+        # log(r+mu))). Same math as the reference, reassociated; the
+        # float64 branch keeps bpmodel.pyx's exact term order.
+        from remixt_tpu.ops.special import lgamma_shift
+        count_term = jnp.where(hdel, lgamma_shift(xc, r_hdel),
+                               lgamma_shift(xc, r_plain)) - lg_r
+        ll = (count_term - xc * jnp.log1p(r / mu_safe)
+              + r * (jnp.log(r) - jnp.log(r + mu_safe)))
+    else:
+        lg_xr = jnp.where(hdel, lgamma(xc + r_hdel), lgamma(xc + r_plain))
+        ll = (lg_xr - lg_x1 - lg_r
+              + xc * jnp.log(nb_p) + r * jnp.log1p(-nb_p))
     return jnp.where(zero_tot, 0.0, ll)
 
 
@@ -553,13 +570,30 @@ def _allele_emission_plane(spec, params, rows, k):
     lg_Mq = lgamma(Mq)
     lg_trM = jnp.where(loh, lgamma(tr + M_loh), lgamma(tr + M_plain))
     lg_M = jnp.where(loh, lgamma(M_loh), lgamma(M_plain))
-    lg_tr1 = lgamma(tr + 1.0)                              # (n, 1)
     kk = rows['y'][:, w][:, None]
-    lg_k1 = lgamma(kk + 1.0)
-    lg_nk1 = lgamma(tr - kk + 1.0)
-    ll = (lg_tr1 - lg_k1 - lg_nk1
-          + lgamma(kk + Mp) + lgamma(tr - kk + Mq)
-          - lg_trM - lg_Mp - lg_Mq + lg_M)
+    if spec.dtype == jnp.float32:
+        # float32 accuracy: pair each large-argument lgamma with its
+        # matching count lgamma via the cancellation-free lgamma_shift
+        # (see _total_emission_plane) — the pairing is exact algebra:
+        #   ll = [lgamma(k+Mp) - lgamma(k+1)]
+        #      + [lgamma(n-k+Mq) - lgamma(n-k+1)]
+        #      - [lgamma(n+M) - lgamma(n+1)] - lgamma(Mp) - lgamma(Mq)
+        #      + lgamma(M)
+        # The allele-outlier components v differ in M, so the unpaired
+        # form's absolute rounding at counts ~1e5 was component-dependent
+        # (the same mechanism as the total-outlier plateau).
+        from remixt_tpu.ops.special import lgamma_shift
+        ll = (lgamma_shift(kk, Mp) - lg_Mp
+              + lgamma_shift(tr - kk, Mq) - lg_Mq
+              - jnp.where(loh, lgamma_shift(tr, M_loh),
+                          lgamma_shift(tr, M_plain)) + lg_M)
+    else:
+        lg_tr1 = lgamma(tr + 1.0)                          # (n, 1)
+        lg_k1 = lgamma(kk + 1.0)
+        lg_nk1 = lgamma(tr - kk + 1.0)
+        ll = (lg_tr1 - lg_k1 - lg_nk1
+              + lgamma(kk + Mp) + lgamma(tr - kk + Mq)
+              - lg_trM - lg_Mp - lg_Mq + lg_M)
     return jnp.where(zero, 0.0, ll)
 
 
@@ -907,17 +941,26 @@ def update_p_outlier_allele(spec, params, state, ll_alle):
 
 
 def _sweep_with_emissions(spec, params, state, ll_tot, ll_alle):
-    state = update_p_allele_swap(spec, params, state, ll_alle)
+    # the named scopes label each component's HLO ops so profiler traces
+    # attribute the FUSED sweep (tools/sweep_budget.py --trace)
+    with jax.named_scope('sweep_p_allele_swap'):
+        state = update_p_allele_swap(spec, params, state, ll_alle)
     # one exp-space breakend bank per sweep, shared between the chain
     # update (q(brk) potentials) and the breakpoint update (the chain ran
     # under exactly these potentials, so p_breakpoint_used matches)
-    be_exp = (breakend_tmats_exp(spec, state.p_breakpoint,
-                                 pad_S=_sweep_exp_bank_pad(spec))
-              if spec.K else None)
-    state = update_p_cn(spec, params, state, ll_tot, ll_alle, be_exp=be_exp)
-    state = update_p_breakpoint(spec, params, state, exp_tm_used=be_exp)
-    state = update_p_outlier_total(spec, params, state, ll_tot)
-    state = update_p_outlier_allele(spec, params, state, ll_alle)
+    with jax.named_scope('sweep_be_bank'):
+        be_exp = (breakend_tmats_exp(spec, state.p_breakpoint,
+                                     pad_S=_sweep_exp_bank_pad(spec))
+                  if spec.K else None)
+    with jax.named_scope('sweep_p_cn_chain'):
+        state = update_p_cn(spec, params, state, ll_tot, ll_alle,
+                            be_exp=be_exp)
+    with jax.named_scope('sweep_p_breakpoint'):
+        state = update_p_breakpoint(spec, params, state, exp_tm_used=be_exp)
+    with jax.named_scope('sweep_p_outlier_total'):
+        state = update_p_outlier_total(spec, params, state, ll_tot)
+    with jax.named_scope('sweep_p_outlier_allele'):
+        state = update_p_outlier_allele(spec, params, state, ll_alle)
     return state
 
 
@@ -935,7 +978,8 @@ def variational_sweeps(spec, params, state, num_sweeps):
     across the VI sweeps inside one EM iteration — recomputing it per
     sweep dominated the batched sweep's wall clock.
     """
-    ll_tot, ll_alle = emission_tensors(spec, params)
+    with jax.named_scope('sweep_emissions'):
+        ll_tot, ll_alle = emission_tensors(spec, params)
 
     def body(s, _):
         return _sweep_with_emissions(spec, params, s, ll_tot, ll_alle), None
@@ -1057,7 +1101,8 @@ def _sweep_restarts_with_emissions(spec, params_b, state_b, ll_tot, ll_alle):
     import functools
 
     vm = lambda f: jax.vmap(functools.partial(f, spec))
-    state_b = vm(update_p_allele_swap)(params_b, state_b, ll_alle)
+    with jax.named_scope('sweep_p_allele_swap'):
+        state_b = vm(update_p_allele_swap)(params_b, state_b, ll_alle)
 
     # one restart-major padded exp bank per sweep on the Pallas path,
     # shared between the chain and breakpoint updates (see
@@ -1066,16 +1111,21 @@ def _sweep_restarts_with_emissions(spec, params_b, state_b, ll_tot, ll_alle):
     if (spec.K and spec.use_pallas and spec.chain_constraint is None
             and spec.num_chain_blocks == 1):
         plan = spec.pallas_restart_plan(ll_tot.shape[0])
-        be_exp_b = _restart_exp_bank(spec, state_b, plan)
+        with jax.named_scope('sweep_be_bank'):
+            be_exp_b = _restart_exp_bank(spec, state_b, plan)
 
-    state_b = update_p_cn_restarts(spec, params_b, state_b, ll_tot, ll_alle,
-                                   be_exp_b=be_exp_b)
-    if be_exp_b is not None:
-        state_b = update_p_breakpoint_restarts(spec, state_b, be_exp_b)
-    else:
-        state_b = vm(update_p_breakpoint)(params_b, state_b)
-    state_b = vm(update_p_outlier_total)(params_b, state_b, ll_tot)
-    state_b = vm(update_p_outlier_allele)(params_b, state_b, ll_alle)
+    with jax.named_scope('sweep_p_cn_chain'):
+        state_b = update_p_cn_restarts(spec, params_b, state_b, ll_tot,
+                                       ll_alle, be_exp_b=be_exp_b)
+    with jax.named_scope('sweep_p_breakpoint'):
+        if be_exp_b is not None:
+            state_b = update_p_breakpoint_restarts(spec, state_b, be_exp_b)
+        else:
+            state_b = vm(update_p_breakpoint)(params_b, state_b)
+    with jax.named_scope('sweep_p_outlier_total'):
+        state_b = vm(update_p_outlier_total)(params_b, state_b, ll_tot)
+    with jax.named_scope('sweep_p_outlier_allele'):
+        state_b = vm(update_p_outlier_allele)(params_b, state_b, ll_alle)
     return state_b
 
 
@@ -1099,8 +1149,9 @@ def variational_sweeps_restarts(spec, params_b, state_b, num_sweeps):
     """``num_sweeps`` restart-batched VI sweeps, emissions computed once."""
     import functools
 
-    ll_tot, ll_alle = jax.vmap(
-        functools.partial(emission_tensors, spec))(params_b)
+    with jax.named_scope('sweep_emissions'):
+        ll_tot, ll_alle = jax.vmap(
+            functools.partial(emission_tensors, spec))(params_b)
 
     def body(s_b, _):
         return _sweep_restarts_with_emissions(

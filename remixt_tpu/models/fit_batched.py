@@ -62,7 +62,7 @@ def _sweeps_batched_fn(spec, num_sweeps, mesh=None):
     return cache[key]
 
 
-def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=12,
+def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=8,
                          mesh=None):
     """Fit every restart of the grid in batched chunks on one model.
 

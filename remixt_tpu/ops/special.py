@@ -97,3 +97,43 @@ def betabin_log_likelihood(k, n, p, M):
             - jax.lax.lgamma(n + M)
             - jax.lax.lgamma(Mp) - jax.lax.lgamma(Mq)
             + jax.lax.lgamma(M))
+
+
+# Stirling tail of log-gamma: lgamma(z) = (z - 1/2) log z - z
+# + log(2 pi)/2 + _stirling_phi(z); three series terms leave a remainder
+# < 1e-15 for z >= 256 (the lgamma_shift crossover).
+def _stirling_phi(z):
+    z2 = z * z
+    return ((1.0 / 12.0) / z - (1.0 / 360.0) / (z * z2)
+            + (1.0 / 1260.0) / (z * z2 * z2))
+
+
+LGAMMA_SHIFT_MIN_N = 256.0
+
+
+def lgamma_shift(n, a):
+    """``lgamma(n + a) - lgamma(n + 1)``, cancellation-free for large n.
+
+    Evaluating the two lgammas separately costs their ABSOLUTE float32
+    rounding error: at n ~ 2e5 each value is ~2e6, so the difference —
+    itself only O(a log n) — carries an O(0.1) error. That error is
+    state-independent and cancels in the chain softmax, but it is
+    component-dependent in the outlier updates (components differ in a),
+    where it produced a persistent 5e-2 posterior error plateau
+    (ACCURACY.json round 3). Rewriting via Stirling with the large terms
+    combined ANALYTICALLY,
+
+        (n + 1/2) log1p((a-1)/(n+1)) + (a-1) log(n+a) - (a-1)
+            + phi(n+a) - phi(n+1),
+
+    keeps every intermediate at O(a log n), for ~1e-4 absolute error.
+    Below ``LGAMMA_SHIFT_MIN_N`` the plain difference is both accurate
+    and exact-to-reference, so it is kept.
+    """
+    plain = jax.lax.lgamma(n + a) - jax.lax.lgamma(n + 1.0)
+    n_safe = jnp.maximum(n, LGAMMA_SHIFT_MIN_N)  # keep the unused branch finite
+    am1 = a - 1.0
+    stable = ((n_safe + 0.5) * jnp.log1p(am1 / (n_safe + 1.0))
+              + am1 * jnp.log(n_safe + a) - am1
+              + _stirling_phi(n_safe + a) - _stirling_phi(n_safe + 1.0))
+    return jnp.where(n >= LGAMMA_SHIFT_MIN_N, stable, plain)

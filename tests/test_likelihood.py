@@ -123,3 +123,30 @@ def test_expected_read_count_shapes_and_guards():
 
     with pytest.raises(lik.ProbabilityError):
         lik.expected_read_count(l, cn, np.array([np.nan, 0.05, 0.02]), phi)
+
+
+def test_lgamma_shift_f32_accuracy():
+    """ops.special.lgamma_shift must evaluate lgamma(n+a) - lgamma(n+1) in
+    float32 with absolute error orders of magnitude below the plain f32
+    difference at large n (whose O(0.1) component-dependent rounding caused
+    the round-3 outlier-posterior plateau — see ACCURACY.json / DESIGN.md)."""
+    import jax.numpy as jnp
+    from scipy.special import gammaln
+    from remixt_tpu.ops.special import lgamma_shift, LGAMMA_SHIFT_MIN_N
+
+    n = np.concatenate([
+        np.array([0.0, 1.0, 5.0, 100.0, 255.0, 256.0, 257.0]),
+        np.logspace(2.5, 6.3, 40)])
+    # a spans the likelihood-parameter bounds (r/M grids reach 2000)
+    for a in (0.05, 0.9, 1.0, 7.3, 120.0, 900.0, 2000.0):
+        exact = gammaln(n + a) - gammaln(n + 1.0)
+        got = np.asarray(lgamma_shift(
+            jnp.asarray(n, jnp.float32), jnp.float32(a)), dtype=float)
+        assert got.dtype == np.float64 and np.all(np.isfinite(got))
+        # bound: eps-level RELATIVE error of the result itself (the
+        # point of the rewrite: error scales with |shift|, not with
+        # |lgamma| ~ 2e6 as the plain difference's does) plus a small
+        # absolute floor
+        bound = 1e-3 + 4e-7 * np.abs(exact)
+        err = np.abs(got - exact)
+        assert np.all(err < bound), (a, float(err.max()))

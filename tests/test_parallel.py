@@ -322,3 +322,46 @@ def test_fused_multi_sweep_matches_looped():
     np.testing.assert_allclose(
         np.asarray(fused_b.posterior_marginals),
         np.asarray(looped_b.posterior_marginals), atol=1e-12)
+
+
+def test_2d_step_h_gradient_matches_production_objective(problem):
+    """The 2D training step's in-graph h ascent (parallel/chain.py) is a
+    fixed-step variant of the production fused backtracking update; both
+    must climb the SAME objective. Pin its ell and gradient to
+    jax.value_and_grad of engine.expected_log_likelihood evaluated
+    unsharded on the post-sweep state (VERDICT r3 weak item 7)."""
+    spec, params, state = problem
+    n_restart, n_chain = 2, 4
+    R = n_restart
+    h_step = 1e-6
+
+    params_list = [
+        params._replace(h=params.h * (1.0 + 0.05 * i)) for i in range(R)]
+    spec.chain_constraint = None
+
+    expected = []
+    for p in params_list:
+        s = eng.variational_sweep(spec, p, state)
+        ell, grad = jax.value_and_grad(
+            lambda h, p=p, s=s: eng.expected_log_likelihood(
+                spec, p._replace(h=h), s))(p.h)
+        new_h = np.clip(np.asarray(p.h) + h_step * np.asarray(grad),
+                        1e-8, 10.0)
+        expected.append((float(ell), new_h))
+
+    devices = np.asarray(jax.devices()[:8]).reshape(n_restart, n_chain)
+    mesh = Mesh(devices, ('restart', 'chain'))
+    params_b = par.shard_restarts(mesh, par.stack_pytrees(params_list))
+    state_b = par.shard_restarts(mesh, par.stack_pytrees([state] * R))
+
+    step = par_chain.make_2d_train_step(spec, mesh, h_step=h_step)
+    try:
+        with mesh:
+            params_out, _, ell = step(params_b, state_b)
+        for i in range(R):
+            np.testing.assert_allclose(float(ell[i]), expected[i][0],
+                                       rtol=1e-9)
+            np.testing.assert_allclose(np.asarray(params_out.h[i]),
+                                       expected[i][1], rtol=1e-9)
+    finally:
+        spec.chain_constraint = None

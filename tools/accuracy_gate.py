@@ -268,6 +268,33 @@ def append_results(entries):
     print('wrote {} entries to {}'.format(len(entries), RESULTS_FILE))
 
 
+# Thresholds the f32-vs-oracle gate must stay under (settled sweeps).
+# posterior: near-tied states legitimately move ~1e-2 in f32 (mean ~1e-7);
+# p_outlier: the round-3 5e-2 plateau was the component-dependent lgamma
+# rounding fixed by ops.special.lgamma_shift — measured 1e-3-scale after,
+# and growth past 1e-2 means the cancellation-free emission forms
+# regressed.
+ORACLE_GATE_THRESHOLDS = {
+    'posterior_max_abs_diff': 5e-2,
+    'posterior_argmax_disagreement': 1e-2,
+    'p_outlier_total_max_abs_diff': 1e-2,
+}
+
+
+def check_thresholds(entry):
+    """Exit-code enforcement of the f32 oracle-gate thresholds (settled
+    state: the LAST sweep's diffs)."""
+    if entry.get('gate') != 'float32_engine_vs_f64_oracle':
+        return []
+    last = entry['per_sweep'][-1]
+    failures = []
+    for metric, bound in ORACLE_GATE_THRESHOLDS.items():
+        if last.get(metric, 0.0) > bound:
+            failures.append('{} = {:.3e} exceeds {:.0e}'.format(
+                metric, last[metric], bound))
+    return failures
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--oracle', action='store_true')
@@ -297,6 +324,11 @@ def main():
         print(json.dumps(entry, indent=2))
     if entries and not args.no_write:
         append_results(entries)
+
+    failures = [f for entry in entries for f in check_thresholds(entry)]
+    if failures:
+        print('GATE FAILURES:\n  ' + '\n  '.join(failures))
+        return 1
     return 0
 
 

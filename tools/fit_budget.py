@@ -9,12 +9,18 @@ separately so M-step optimization is attributed before it starts —
 the same measured-first discipline as tools/sweep_budget.py.
 
 Usage (TPU host):
-    python tools/fit_budget.py [--n 6000] [--events 300] [--restarts 12]
+    python tools/fit_budget.py [--n 6000] [--events 300] [--restarts 8]
+    python tools/fit_budget.py --trace [...]
 
-Writes FIT_BUDGET.json at the repo root. Phase numbers are standalone
-dispatch+sync costs (upper bounds on their share of the pipelined fit
-loop; the loop overlaps host work with device execution wherever the
-data flow allows).
+Writes FIT_BUDGET.json at the repo root. Default phase numbers are
+standalone dispatch+sync costs (upper bounds on their share of the
+pipelined fit loop; the loop overlaps host work with device execution
+wherever the data flow allows). With ``--trace`` the tool instead
+profiles one warm PRODUCTION batched EM iteration (the exact dispatch
+sequence fit_restarts_batched issues: fused sweeps, fused h update,
+weights pull, fused param grid zoom) and buckets HLO device time by the
+engine's ``sweep_*`` and ``em_*`` named scopes, so components sum to the
+fused cost by construction.
 """
 
 import argparse
@@ -27,6 +33,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tools'))
 
 
 def timeit(fn, iters=10, warmup=2):
@@ -41,13 +48,112 @@ def timeit(fn, iters=10, warmup=2):
     return (time.time() - t0) / iters
 
 
+EM_SCOPES = ('sweep_emissions', 'sweep_p_allele_swap', 'sweep_be_bank',
+             'sweep_p_cn_chain', 'sweep_p_breakpoint',
+             'sweep_p_outlier_total', 'sweep_p_outlier_allele',
+             'em_h_search', 'em_h_full_guard', 'em_running_components',
+             'em_grid_zoom', 'em_candidate_guard', 'em_elbo_assembly')
+
+
+def trace_em_iteration(model, data, R, iters=3):
+    """Device-time attribution of one warm production batched EM iteration
+    (sweeps + h update + weights + param grid zoom) by named scope."""
+    import tempfile
+    import jax
+    from remixt_tpu.models import em as em_mod
+    from remixt_tpu.models.fit_batched import _sweeps_batched_fn
+    from remixt_tpu.parallel import restarts as par
+    from sweep_budget import _load_hlo_rows
+
+    model.fit(data['h'])  # warm + settled single state
+    spec, state = model.spec, model.state
+    names = tuple(model.likelihood_params)
+    bounds = model.likelihood_param_bounds
+
+    rngs_np = np.random.RandomState(1)
+    h_inits = [data['h'] * (1.0 + 0.1 * rngs_np.rand(3)) for _ in range(R)]
+    dws = [10.0 ** -rngs_np.randint(6, 9) for _ in range(R)]
+    params_b = par.stack_pytrees(
+        [spec.init_params(
+            h, dw,
+            total_mask=model._total_likelihood_mask.astype(float),
+            allele_mask=model._allele_likelihood_mask.astype(float))
+         for h, dw in zip(h_inits, dws)])
+    state_b = par.stack_pytrees([state] * R)
+    rngs = [np.random.RandomState(model.random_seed) for _ in range(R)]
+    sweeps_b = _sweeps_batched_fn(spec, model.num_update_iter)
+
+    def em_iter(params_b, state_b):
+        state_b = sweeps_b(params_b, state_b)
+        params_b, _ = em_mod.update_h_fused_batched(
+            spec, params_b, state_b, rngs)
+        weights_lists = em_mod.param_sample_weights_all_batched(
+            spec, state_b, names)
+        params_b, _, elbo = em_mod.update_params_fused_batched(
+            spec, params_b, state_b, names, bounds, rngs,
+            weights_lists=weights_lists)
+        return params_b, state_b, elbo
+
+    params_b, state_b, elbo = em_iter(params_b, state_b)  # warm all jits
+    jax.block_until_ready(elbo)
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = em_iter(params_b, state_b)
+    jax.block_until_ready(out[2])
+    wall_ms = (time.time() - t0) / iters * 1e3
+
+    trace_dir = tempfile.mkdtemp(prefix='fit_budget_trace_')
+    with jax.profiler.trace(trace_dir):
+        for _ in range(iters):
+            out = em_iter(params_b, state_b)
+        jax.block_until_ready(out[2])
+
+    buckets = {s: 0.0 for s in EM_SCOPES}
+    other = 0.0
+    device_total = 0.0
+    for op_name, us in _load_hlo_rows(trace_dir):
+        device_total += us
+        for s in EM_SCOPES:
+            if s in op_name:
+                buckets[s] += us
+                break
+        else:
+            other += us
+
+    scale = 1e-3 / iters
+    out = {'N': model.spec.N, 'restarts': R, 'mode': 'trace',
+           'em_iter_wall_ms': round(wall_ms, 3),
+           'em_iter_device_ms': round(device_total * scale, 3)}
+    for s, us in buckets.items():
+        out[s + '_ms'] = round(us * scale, 3)
+    out['unattributed_ms'] = round(other * scale, 3)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--n', type=int, default=6000)
     ap.add_argument('--events', type=int, default=300)
-    ap.add_argument('--restarts', type=int, default=12)
+    ap.add_argument('--restarts', type=int, default=8)
     ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--trace', action='store_true',
+                    help='named-scope attribution of one warm batched EM '
+                         'iteration instead of standalone phase timings')
     args = ap.parse_args()
+
+    if args.trace:
+        import jax
+        from bench import build_model
+        model, data = build_model(args.n, args.events)
+        out = trace_em_iteration(model, data, args.restarts,
+                                 iters=max(2, args.iters // 3))
+        out['backend'] = jax.default_backend()
+        print(json.dumps(out, indent=1))
+        with open(os.path.join(REPO, 'FIT_BUDGET_TRACE.json'), 'w') as f:
+            json.dump(out, f, indent=1)
+            f.write('\n')
+        return
 
     import jax
     from bench import build_model

@@ -22,7 +22,7 @@ import bench  # noqa: E402
 
 
 def main():
-    rs = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, 12]
+    rs = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, 12, 16, 24]
     spec, params, state, _ = bench.build_problem(bench.TPU_N, bench.TPU_EVENTS)
     single = bench.time_single_sweep(spec, params, state)
     rows = [{'R': 0, 'note': 'single-restart sweep (non-grouped kernel)',
@@ -30,8 +30,16 @@ def main():
     print(json.dumps(rows[0]), flush=True)
     base_r = rs[0]
     base_step_s = None
+    best = (0.0, None)
     for r in rs:
-        agg = bench.time_restart_batched_sweep(spec, params, state, r)
+        try:
+            agg = bench.time_restart_batched_sweep(spec, params, state, r)
+        except Exception as exc:  # VMEM OOM past the kernel's lane budget
+            note = 'vmem_oom' if 'vmem' in str(exc).lower() else 'failed'
+            row = {'R': r, 'note': note, 'error': str(exc).split('\n')[0][:200]}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            continue
         # Aggregate throughput counts R x N segments per sweep, so r/agg is
         # proportional to the wall-clock cost of one grid step.
         step_s = r / agg
@@ -41,7 +49,12 @@ def main():
                'per_restart_segments_per_s': round(agg / r, 1),
                f'step_cost_vs_R{base_r}': round(step_s / base_step_s, 2)}
         rows.append(row)
+        best = max(best, (agg, r))
         print(json.dumps(row), flush=True)
+    rows.append({'optimal_wave_R': best[1],
+                 'note': 'aggregate-throughput-optimal restart wave; '
+                         'fit_batched chunks the grid at this size '
+                         '(defaults.restart_chunk_size)'})
     out = os.path.join(REPO, 'RESTART_SCALING.json')
     with open(out, 'w') as f:
         json.dump(rows, f, indent=2)

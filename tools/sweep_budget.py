@@ -1,25 +1,25 @@
 """Per-component wall-clock budget of one VI sweep on the real TPU.
 
-Times each jitted piece of the sweep separately (emissions, frame mix,
-forward-backward, breakend bank build, q(brk) update, outlier/swap
-updates) so kernel work is attributed before optimizing — the
-measured-first discipline behind ABLATION.json / RESTART_SCALING.json.
+Two modes:
+
+--trace (the default attribution): profiles the PRODUCTION fused
+  5-sweep restart-batched block (the exact dispatch the fit runs) and
+  buckets HLO device time by the engine's ``sweep_*`` named scopes —
+  emissions, allele swap, breakend bank, chain update, q(brk), outlier
+  updates. Components sum to the measured fused block cost by
+  construction, fixing the round-3 gap where standalone dispatches ran
+  4x the fused per-sweep cost. Writes SWEEP_BUDGET.json.
+
+--standalone: times each jitted piece as its own dispatch. Standalone
+  dispatches pay forced output layouts and per-call overhead the fused
+  blocks don't, so these are upper bounds useful only for RELATIVE
+  comparison between runs of the same shape (at R=12 the single-sweep
+  jit compiles a pathological ~140 ms select fusion the 5-sweep scan
+  block does not exhibit).
 
 Usage (TPU host):
-    python tools/sweep_budget.py [--n 6000] [--events 300] [--restarts 0]
-
-With --restarts R > 0 the same breakdown runs through the restart-batched
-path (grouped Pallas kernel). Writes SWEEP_BUDGET.json at the repo root.
-
-Caveats: standalone dispatches pay forced output layouts and per-call
-overhead the fused production blocks don't, so component numbers are
-upper bounds and full_sweep (a SINGLE-sweep dispatch) can exceed the
-production per-sweep cost substantially — at R=12 the single-sweep jit
-compiles a pathological ~140 ms select fusion that the 5-sweep scan
-blocks (bench.py's shape, where emissions pin at the scan boundary and
-outputs feed the carry) do not exhibit; an emission optimization_barrier
-did not remove it. Benchmark truth lives in bench.py; use this tool for
-RELATIVE attribution between runs of the same shape.
+    python tools/sweep_budget.py [--n 6000] [--events 300] [--restarts 12]
+    python tools/sweep_budget.py --standalone [...]
 """
 
 import argparse
@@ -47,12 +47,112 @@ def timeit(fn, *args, iters=10, warmup=2):
     return (time.time() - t0) / iters
 
 
+SCOPES = ('sweep_emissions', 'sweep_p_allele_swap', 'sweep_be_bank',
+          'sweep_p_cn_chain', 'sweep_p_breakpoint', 'sweep_p_outlier_total',
+          'sweep_p_outlier_allele')
+
+
+def _load_hlo_rows(trace_dir):
+    """(tf_op_name, total_time_us) rows from the newest xplane in a trace
+    directory (same converter as tools/summarize_trace.py)."""
+    import glob
+    paths = sorted(glob.glob(os.path.join(
+        trace_dir, 'plugins', 'profile', '*', '*.xplane.pb')))
+    if not paths:
+        raise SystemExit('no xplane.pb under ' + trace_dir)
+    from xprof.convert import raw_to_tool_data as rtd
+    data, _ = rtd.xspace_to_tool_data([paths[-1]], 'hlo_stats', {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    d = json.loads(data)
+    cols = {c['id']: k for k, c in enumerate(d['cols'])}
+    return [(str(r['c'][cols['tf_op_name']]['v']),
+             float(r['c'][cols['total_time']]['v']))
+            for r in d['rows']]
+
+
+def trace_attribution(spec, params, state, R, num_sweeps=5, iters=5):
+    """Bucket the fused restart-batched block's device time by sweep
+    component (the engine's named scopes)."""
+    import tempfile
+    import jax
+    from remixt_tpu.models import engine as eng
+    from remixt_tpu.parallel import restarts as par
+
+    if R > 0:
+        rng = np.random.RandomState(0)
+        params = par.stack_pytrees([
+            params._replace(h=params.h * (1.0 + 0.2 * rng.rand()))
+            for _ in range(R)])
+        state = par.stack_pytrees([state] * R)
+        block = jax.jit(functools.partial(
+            eng.variational_sweeps_restarts, spec, num_sweeps=num_sweeps))
+    else:
+        block = jax.jit(functools.partial(
+            eng.variational_sweeps, spec, num_sweeps=num_sweeps))
+
+    state0 = block(params, state)
+    jax.block_until_ready(state0)
+
+    t0 = time.time()
+    s = state0
+    for _ in range(iters):
+        s = block(params, s)
+    jax.block_until_ready(s)
+    wall_block_ms = (time.time() - t0) / iters * 1e3
+
+    trace_dir = tempfile.mkdtemp(prefix='sweep_budget_trace_')
+    with jax.profiler.trace(trace_dir):
+        s = state0
+        for _ in range(iters):
+            s = block(params, s)
+        jax.block_until_ready(s)
+
+    buckets = {scope: 0.0 for scope in SCOPES}
+    other = 0.0
+    device_total = 0.0
+    for op_name, us in _load_hlo_rows(trace_dir):
+        device_total += us
+        for scope in SCOPES:
+            if scope in op_name:
+                buckets[scope] += us
+                break
+        else:
+            other += us
+
+    # per-sweep ms: the traced window ran iters blocks of num_sweeps
+    # sweeps (emissions once per block)
+    scale = 1e-3 / iters
+    out = {'N': spec.N, 'S': spec.S, 'K': spec.K, 'J': spec.J,
+           'Q': spec.Q, 'L': spec.L, 'restarts': R,
+           'use_pallas': bool(spec.use_pallas),
+           'mode': 'trace',
+           'num_sweeps_per_block': num_sweeps,
+           'block_wall_ms': round(wall_block_ms, 3),
+           'block_device_ms': round(device_total * scale, 3),
+           'per_sweep_device_ms': round(
+               device_total * scale / num_sweeps, 3)}
+    for scope, us in buckets.items():
+        name = scope.replace('sweep_', '')
+        per_block = us * scale
+        out[name + '_ms_per_block'] = round(per_block, 3)
+        out[name + '_ms_per_sweep'] = round(per_block / num_sweeps, 3)
+    out['unattributed_ms_per_block'] = round(other * scale, 3)
+    out['sum_components_ms_per_block'] = round(
+        sum(us for us in buckets.values()) * scale + other * scale, 3)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--n', type=int, default=6000)
     ap.add_argument('--events', type=int, default=300)
-    ap.add_argument('--restarts', type=int, default=0)
+    ap.add_argument('--restarts', type=int, default=12)
     ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--standalone', action='store_true',
+                    help='per-component standalone dispatches (upper '
+                         'bounds) instead of fused-block attribution')
+    ap.add_argument('--sweeps', type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -61,6 +161,14 @@ def main():
 
     spec, params, state, _ = build_problem(args.n, args.events)
     R = args.restarts
+
+    if not args.standalone:
+        out = trace_attribution(spec, params, state, R,
+                                num_sweeps=args.sweeps, iters=args.iters)
+        print(json.dumps(out, indent=2))
+        with open(os.path.join(REPO, 'SWEEP_BUDGET.json'), 'w') as f:
+            json.dump(out, f, indent=2)
+        return
 
     if R > 0:
         from remixt_tpu.parallel import restarts as par
@@ -126,7 +234,8 @@ def main():
 
     out = {'N': spec.N, 'S': spec.S, 'K': spec.K, 'J': spec.J,
            'Q': spec.Q, 'L': spec.L, 'restarts': R,
-           'use_pallas': bool(spec.use_pallas)}
+           'use_pallas': bool(spec.use_pallas),
+           'mode': 'standalone_upper_bounds'}
     for name, (fn, fargs) in pieces.items():
         print('timing', name, '...', file=sys.stderr, flush=True)
         out[name + '_ms'] = round(timeit(fn, *fargs, iters=args.iters) * 1e3, 3)
