@@ -88,6 +88,8 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=8,
         model._spec_num_clones = M
     spec = model.spec
 
+    from remixt_tpu.parallel import restarts as par
+
     mesh_extent = 1
     if mesh is not None and 'restart' in mesh.shape:
         mesh_extent = mesh.shape['restart']
@@ -103,7 +105,17 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=8,
     for begin in range(0, num_restarts, chunk_size):
         chunk = list(range(begin, min(begin + chunk_size, num_restarts)))
         R = len(chunk)
-        R_pad = -(-R // mesh_extent) * mesh_extent
+        # EVERY chunk is padded to the full chunk size (repeating the last
+        # restart; pads discarded below), so every dispatch runs the SAME
+        # compiled program at the same restart extent as chunk 1. This (a)
+        # avoids recompiling the whole EM stack for a partial tail chunk
+        # (~minutes of remote compiles), and (b) sidesteps reproducible
+        # Mosaic/TPU device faults observed at specific grouped-kernel
+        # restart extents (R=10 on the bench problem, R=4 tail chunks on
+        # benchmark sims — RESTART_SCALING.json, docs/DESIGN.md): with a
+        # uniform shape, a grid either works entirely or fails loudly on
+        # its first chunk.
+        R_pad = chunk_size
         logger.info('fitting restarts %d-%d batched%s', chunk[0], chunk[-1],
                     ' on %d devices' % mesh.devices.size if mesh else '')
 
@@ -122,11 +134,10 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=8,
         rngs = [np.random.RandomState(model.random_seed)
                 for _ in range(R_pad)]
 
+        if R_pad > R:
+            params_b = par.pad_restarts(params_b, R_pad)
+            state_b = par.pad_restarts(state_b, R_pad)
         if mesh is not None:
-            from remixt_tpu.parallel import restarts as par
-            if R_pad > R:
-                params_b = par.pad_restarts(params_b, R_pad)
-                state_b = par.pad_restarts(state_b, R_pad)
             params_b = par.shard_restarts(mesh, params_b)
             state_b = par.shard_restarts(mesh, state_b)
 

@@ -244,3 +244,45 @@ def test_param_sample_weights_all_matches_per_name(sim_data):
                 assert got is None, name
             else:
                 np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+def test_batched_chunks_padded_to_uniform_shape():
+    """Every batched chunk (including the grid's tail) dispatches at the
+    full chunk size with pad restarts repeating the last real one, and
+    per-restart results are identical to an unpadded single-chunk fit.
+    The uniform shape is what lets every chunk reuse chunk 1's compiled
+    program and is the guard against the grouped kernel's shape-specific
+    device faults (docs/DESIGN.md: R=10 bench / R=4 tail-chunk faults)."""
+    from remixt_tpu.models.fit_batched import fit_restarts_batched
+
+    data = sim.simulate_experiment(
+        N=36, M=3, h=(0.08, 0.05, 0.025), cn_max=2, num_events=4,
+        num_chains=2, seed=5)
+
+    def build():
+        m = BreakpointModel(
+            data['x'], data['l'], data['adjacencies'], data['breakpoints'],
+            max_copy_number=2, max_depth=1e9, min_segment_length=1.0,
+            min_proportion_genotyped=0.0, divergence_weight=1e-7,
+            dtype=jnp.float64, random_seed=1234)
+        m.num_em_iter = 2
+        m.num_update_iter = 2
+        return m
+
+    R = 5
+    h_inits = [data['h'] * (1.0 + 0.02 * i) for i in range(R)]
+    dws = [1e-7] * R
+
+    # chunks of 3: [3 real, 3 with 1 pad]; vs one unpadded chunk of 5
+    chunked = fit_restarts_batched(build(), h_inits, dws, chunk_size=3)
+    whole = fit_restarts_batched(build(), h_inits, dws, chunk_size=5)
+    assert len(chunked) == R and len(whole) == R
+    for i in range(R):
+        np.testing.assert_allclose(
+            np.asarray(chunked[i]['params'].h),
+            np.asarray(whole[i]['params'].h), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(chunked[i]['state'].posterior_marginals),
+            np.asarray(whole[i]['state'].posterior_marginals), atol=1e-12)
+        np.testing.assert_allclose(chunked[i]['elbo'], whole[i]['elbo'],
+                                   rtol=1e-12)

@@ -18,7 +18,7 @@ Two modes:
   block does not exhibit).
 
 Usage (TPU host):
-    python tools/sweep_budget.py [--n 6000] [--events 300] [--restarts 12]
+    python tools/sweep_budget.py [--n 6000] [--events 300] [--restarts 8]
     python tools/sweep_budget.py --standalone [...]
 """
 
@@ -147,7 +147,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--n', type=int, default=6000)
     ap.add_argument('--events', type=int, default=300)
-    ap.add_argument('--restarts', type=int, default=12)
+    ap.add_argument('--restarts', type=int, default=8)
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--standalone', action='store_true',
                     help='per-component standalone dispatches (upper '
