@@ -4,9 +4,10 @@ Problem: hg38-scale segment chain (N=6000 segments at the default 500 kb
 grid), M=3 clones, max_copy_number=12 -> S=355 HMM states, 300 breakpoints,
 23 chains. Measures what BASELINE.md names:
 
-  1. E-step segments/s per chip, in the PRODUCTION shape: the restart grid
-     (12 restarts, the reference's init_id fan-out) vmapped into one SPMD
-     sweep. Headline metric.
+  1. E-step segments/s per chip, in the PRODUCTION shape: the R=24 restart
+     grid (the reference's init_id fan-out) swept in sequential waves of
+     the measured-optimal chunk (defaults.restart_chunk_size=8), exactly
+     as fit_batched runs it. Headline metric.
   2. Single-restart sweep segments/s (round-1 continuity metric).
   3. Whole-genome full-fit wall-clock (5 EM x 5 VI + fused h update + the
      10-parameter grid zoom + decode) and EM iterations/s, cold (with

@@ -33,13 +33,15 @@ def main():
     cols = [c['id'] for c in d['cols']]
     i = {c: k for k, c in enumerate(cols)}
     rows = [[c['v'] for c in r['c']] for r in d['rows']]
-    rows.sort(key=lambda v: -v[i['total_time']])
-    tot = sum(v[i['total_time']] for v in rows)
+    # self-time, not total_time: wrapper ops (`while` scan bodies) report
+    # the whole nested body as total_time, double-counting every leaf op
+    rows.sort(key=lambda v: -v[i['total_self_time']])
+    tot = sum(v[i['total_self_time']] for v in rows)
     print('device total: {:.1f} us'.format(tot))
     print(f"{'us':>9} {'%':>5} {'occ':>4} {'GB/s':>6} {'bound':>10}  op")
     for v in rows[:args.top]:
         frm = str(v[i['tf_op_name']]).replace('jit(<unknown>)/', '')[:58]
-        print(f"{v[i['total_time']]:9.1f} {100 * v[i['total_time']] / tot:5.1f}"
+        print(f"{v[i['total_self_time']]:9.1f} {100 * v[i['total_self_time']] / tot:5.1f}"
               f" {v[i['occurrences']]:4.0f} {v[i['measured_memory_bw']]:6.0f}"
               f" {str(v[i['bound_by']])[:10]:>10}"
               f"  {v[i['category']][:14]:14s} {frm}")

@@ -53,8 +53,13 @@ SCOPES = ('sweep_emissions', 'sweep_p_allele_swap', 'sweep_be_bank',
 
 
 def _load_hlo_rows(trace_dir):
-    """(tf_op_name, total_time_us) rows from the newest xplane in a trace
-    directory (same converter as tools/summarize_trace.py)."""
+    """(tf_op_name, self_time_us) rows from the newest xplane in a trace
+    directory (same converter as tools/summarize_trace.py).
+
+    Uses total_self_time, not total_time: wrapper ops (the fused block's
+    outer `while` scan) report the whole nested body as their total_time,
+    which would double-count every component and inflate the
+    "unattributed" bucket by the full loop-body cost."""
     import glob
     paths = sorted(glob.glob(os.path.join(
         trace_dir, 'plugins', 'profile', '*', '*.xplane.pb')))
@@ -67,7 +72,7 @@ def _load_hlo_rows(trace_dir):
     d = json.loads(data)
     cols = {c['id']: k for k, c in enumerate(d['cols'])}
     return [(str(r['c'][cols['tf_op_name']]['v']),
-             float(r['c'][cols['total_time']]['v']))
+             float(r['c'][cols['total_self_time']]['v']))
             for r in d['rows']]
 
 
@@ -129,6 +134,9 @@ def trace_attribution(spec, params, state, R, num_sweeps=5, iters=5):
            'mode': 'trace',
            'num_sweeps_per_block': num_sweeps,
            'block_wall_ms': round(wall_block_ms, 3),
+           # hlo_stats aggregates self-time across TensorCores/streams, so
+           # block_device_ms can exceed block_wall_ms; component RATIOS are
+           # the attribution signal, wall is the cost
            'block_device_ms': round(device_total * scale, 3),
            'per_sweep_device_ms': round(
                device_total * scale / num_sweeps, 3)}
