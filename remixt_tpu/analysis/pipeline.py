@@ -144,6 +144,8 @@ def fit_task(results_filename, experiment_filename, init_params, config):
 
 def fit(experiment, init_params, config, snapshot_filename=None):
     """Fit one restart (parity: reference analysis/pipeline.py:127-228)."""
+    from remixt_tpu.compile_cache import enable_compilation_cache
+    enable_compilation_cache(config)
     model = build_model(experiment, init_params, config)
     return fit_with_model(model, experiment, init_params, config,
                           snapshot_filename=snapshot_filename)
@@ -162,6 +164,9 @@ def fit_many(experiment, init_params_dict, config):
 
     Returns {init_id: fit_results}.
     """
+    from remixt_tpu.compile_cache import enable_compilation_cache
+    enable_compilation_cache(config)
+
     batched = remixt_tpu.config.get_param(config, 'batch_restarts') \
         and not config.get('optimal_initialization', False)
     if batched and len(init_params_dict) > 1:

@@ -174,3 +174,10 @@ restart_chunk_size = 8
 # visible (the TPU-native analogue of the reference's per-restart cluster
 # fan-out, workflow.py:318-340)
 use_device_mesh = True
+
+# Persist compiled XLA programs across processes: a fresh process otherwise
+# pays minutes of remote compiles before its first fit (FIT_BUDGET.json
+# full_fit_cold_s). None resolves to ~/.cache/remixt_tpu/xla_cache, or the
+# REMIXT_TPU_CACHE_DIR environment variable when set.
+use_compilation_cache = True
+compilation_cache_dir = None

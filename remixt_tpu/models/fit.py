@@ -100,25 +100,28 @@ class BreakpointModel:
 
         self.x1, self.l1 = self.remap.expand_data(x, l)
 
-        # likelihood masks (cn_model.py:169-184)
-        self._total_likelihood_mask = np.ones(self.N1, dtype=bool)
-        self._allele_likelihood_mask = np.ones(self.N1, dtype=bool)
+        # Likelihood masks (semantics of cn_model.py:169-184): segments the
+        # model cannot describe are dropped from the likelihood — too short,
+        # or amplified past max_depth; the allele term additionally needs
+        # enough genotypable (allele-assigned) reads.
+        total_reads = self.x1[:, 2].astype(float)
+        depth = total_reads / (self.l1.astype(float) + 1e-16)
+        genotyped_fraction = (
+            self.x1[:, :2].sum(axis=1).astype(float) / (total_reads + 1e-16))
 
-        self._total_likelihood_mask &= (self.l1 >= self.min_segment_length)
-        self._allele_likelihood_mask &= (self.l1 >= self.min_segment_length)
+        modellable = (
+            (self.l1 >= self.min_segment_length) & (depth <= self.max_depth))
+        self._total_likelihood_mask = modellable
+        self._allele_likelihood_mask = modellable & (
+            genotyped_fraction >= self.min_proportion_genotyped)
 
-        p = self.x1[:, :2].sum(axis=1).astype(float) / (self.x1[:, 2].astype(float) + 1e-16)
-        self._allele_likelihood_mask &= (p >= self.min_proportion_genotyped)
-
-        depth = self.x1[:, 2].astype(float) / (self.l1.astype(float) + 1e-16)
-        self._total_likelihood_mask &= (depth <= self.max_depth)
-        self._allele_likelihood_mask &= (depth <= self.max_depth)
-
-        # optionally disable integrated breakpoint inference (cn_model.py:186-190)
+        # Optionally disable integrated breakpoint inference
+        # (cn_model.py:186-190): every junction reverts to the plain
+        # no-breakend transition.
         if self.disable_breakpoints:
             self.num_breakpoints = 0
-            self.breakpoint_idx = -np.ones(self.breakpoint_idx.shape, dtype=int)
-            self.breakpoint_orient = np.zeros(self.breakpoint_orient.shape, dtype=int)
+            self.breakpoint_idx = np.full_like(self.breakpoint_idx, -1)
+            self.breakpoint_orient = np.zeros_like(self.breakpoint_orient)
 
         self.check_elbo = False
         self.prev_elbo = None

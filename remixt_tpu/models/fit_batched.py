@@ -41,7 +41,11 @@ def _elbo_batched_fn(spec, mesh=None):
     cache = spec._jit_cache
     key = ('elbo_b', mesh)
     if key not in cache:
-        f = jax.vmap(functools.partial(eng.calculate_elbo, spec))
+        # the dedicated restart-batched form: emission halves vmap, the
+        # transition dots share one static-bank gather across restarts
+        # (vmap(calculate_elbo) re-gathers per restart — ~16x slower at
+        # R=8 whole-genome)
+        f = functools.partial(eng.calculate_elbo_restarts, spec)
         if mesh is not None:
             from remixt_tpu.parallel import restarts as par
             f = par.shard_restart_fn(mesh, f, n_batched=2)

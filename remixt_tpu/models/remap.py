@@ -3,8 +3,10 @@
 The breakpoint factor graph allows only a single breakend interposed between
 each pair of adjacent segments; where multiple breakends meet at one junction
 (or a breakend abuts a telomere), zero-length dummy segments are inserted.
-Host-side index gymnastics, ported with its invariant asserts from
-/root/reference/remixt/cn_model.py:82-167.
+Capability parity with the reference's remap construction
+(/root/reference/remixt/cn_model.py:82-167), rebuilt here as slot-record
+emission: each junction position appends its slots to flat per-field lists,
+and the arrays are materialized once at the end.
 """
 
 import collections
@@ -52,67 +54,72 @@ class SegmentRemap:
         """
         self.N = N
         breakpoints = list(breakpoints)
+        self.num_breakpoints = len(breakpoints)
 
-        breakpoint_segment = collections.defaultdict(set)
+        # Breakends grouped by the junction they interrupt: junction n sits
+        # between original segments n and n+1 (n = -1 is the genome start).
+        # Stored as sets of (bp_idx, be_idx, orient) and iterated in set
+        # order — the reference's exact per-junction assignment order
+        # (cn_model.py:86-90), kept so slot layouts (and therefore fits at
+        # small iteration budgets) are bit-reproducible against it.
+        junction_breakends = collections.defaultdict(set)
         for bp_idx, breakpoint in enumerate(breakpoints):
             for be_idx, breakend in enumerate(breakpoint):
-                n, orient = get_brkend_seg_orient(breakend)
-                breakpoint_segment[n].add((bp_idx, be_idx, orient))
+                n_left, orient = get_brkend_seg_orient(breakend)
+                junction_breakends[n_left].add((bp_idx, be_idx, orient))
 
-        # count segments in the new segmentation (cn_model.py:92-99)
-        N1 = 0
-        for n in range(-1, N):
-            if n in breakpoint_segment:
-                N1 += len(breakpoint_segment[n])
-                if (n, n + 1) not in adjacencies:
-                    N1 += 1
-            elif n >= 0:
-                N1 += 1
-        self.N1 = N1
+        # Emit slots of the new segmentation position by position.  The image
+        # of original segment n is the first slot emitted at position n; each
+        # breakend needs a slot of its own (the first rides on the original
+        # segment's slot when one exists), and a breakend-bearing junction
+        # that is not a wild-type adjacency gets a trailing zero-length slot
+        # to carry the free telomere transition.
+        origin = []      # original segment each slot maps back to
+        telomere = []    # 1 where the slot's outgoing transition is free
+        bp_of_slot = []  # breakpoint id following the slot, or -1
+        orient_of_slot = []
+        fwd = np.zeros(N, dtype=int)
+        original_slots = []
 
-        self.seg_fwd_remap = np.zeros(N, dtype=int)
-        self.seg_is_original = np.zeros(N1, dtype=bool)
-        self.seg_rev_remap = np.zeros(N1, dtype=int)
-
-        self.num_breakpoints = len(breakpoints)
-        self.is_telomere = np.ones(N1, dtype=int)
-        self.breakpoint_idx = -np.ones(N1, dtype=int)
-        self.breakpoint_orient = np.zeros(N1, dtype=int)
-
-        n_new = 0
-        # there may be a breakend before the first segment (n = -1)
         for n in range(-1, N):
             if n >= 0:
-                self.seg_fwd_remap[n] = n_new
-                self.seg_is_original[n_new] = True
+                fwd[n] = len(origin)
+                original_slots.append(len(origin))
 
-            if n in breakpoint_segment:
-                for bp_idx, be_idx, orient in breakpoint_segment[n]:
-                    self.breakpoint_idx[n_new] = bp_idx
-                    self.breakpoint_orient[n_new] = orient
-                    self.seg_rev_remap[n_new] = n
+            breakends = junction_breakends.get(n, ())
+            if n >= 0 and not breakends:
+                origin.append(n)
+                telomere.append(0 if (n, n + 1) in adjacencies else 1)
+                bp_of_slot.append(-1)
+                orient_of_slot.append(0)
+                continue
 
-                    # breakend-incident junctions are not telomeres
-                    self.is_telomere[n_new] = 0
-                    n_new += 1
+            for bp_idx, _, orient in breakends:
+                origin.append(n)
+                telomere.append(0)
+                bp_of_slot.append(bp_idx)
+                orient_of_slot.append(orient)
+            if breakends and (n, n + 1) not in adjacencies:
+                origin.append(n)
+                telomere.append(1)
+                bp_of_slot.append(-1)
+                orient_of_slot.append(0)
 
-                # a breakend at a telomere needs one extra segment to carry
-                # the free transition
-                if (n, n + 1) not in adjacencies:
-                    self.is_telomere[n_new] = 1
-                    self.seg_rev_remap[n_new] = n
-                    n_new += 1
+        self.N1 = len(origin)
+        self.seg_fwd_remap = fwd
+        self.seg_rev_remap = np.asarray(origin, dtype=int)
+        self.seg_is_original = np.zeros(self.N1, dtype=bool)
+        self.seg_is_original[original_slots] = True
+        self.is_telomere = np.asarray(telomere, dtype=int)
+        self.breakpoint_idx = np.asarray(bp_of_slot, dtype=int)
+        self.breakpoint_orient = np.asarray(orient_of_slot, dtype=int)
 
-            elif n >= 0:
-                if (n, n + 1) in adjacencies:
-                    self.is_telomere[n_new] = 0
-                self.seg_rev_remap[n_new] = n
-                n_new += 1
-
-        assert n_new == N1
+        # Invariants kept from the reference (cn_model.py:160-161): breakend
+        # slots are never telomeres, and every breakpoint placed both ends.
         assert not np.any((self.breakpoint_idx >= 0) & (self.is_telomere == 1))
         if self.num_breakpoints > 0:
-            assert np.all(np.bincount(self.breakpoint_idx[self.breakpoint_idx >= 0]) == 2)
+            placed = np.bincount(self.breakpoint_idx[self.breakpoint_idx >= 0])
+            assert np.all(placed == 2)
 
     def expand_data(self, x, l):
         """Scatter original per-segment data into the remapped segmentation;

@@ -73,18 +73,21 @@ def create_ref_data(config, ref_data_dir, ref_data_sentinal, bwa_index_genome=Fa
     auto_sentinal.run(wget_genome_fasta)
 
     def wget_gap_table():
-        chr_name_prefix = get_param('chr_name_prefix')
+        prefix = get_param('chr_name_prefix')
+        if prefix not in ('', 'chr'):
+            raise ValueError(f'unrecognized chr_name_prefix {prefix!r}')
+
         gap_filename = get_filename('gap_table')
         remixt_tpu.utils.wget(get_filename('gap_url'), gap_filename)
-        gaps = pd.read_csv(gap_filename, dtype=str, sep='\t', header=None)
-        assert gaps[1].str.startswith('chr').all()
-        if chr_name_prefix == 'chr':
-            pass
-        elif chr_name_prefix == '':
-            gaps[1] = gaps[1].apply(lambda a: a[3:])
+
+        # UCSC gap tables name chromosomes chr-prefixed; when the genome
+        # build uses bare names (ensembl), strip the prefix in place.
+        gaps = pd.read_csv(gap_filename, sep='\t', header=None, dtype=str)
+        if not gaps[1].str.startswith('chr').all():
+            raise ValueError('gap table chromosome names lack the chr prefix')
+        if prefix == '':
+            gaps[1] = gaps[1].str.slice(3)
             gaps.to_csv(gap_filename, sep='\t', header=None, index=False)
-        else:
-            raise ValueError(f'unrecognized chr_name_prefix {chr_name_prefix}')
     auto_sentinal.run(wget_gap_table)
 
     if bwa_index_genome:

@@ -38,6 +38,12 @@ def main():
 
     args = vars(argparser.parse_args())
     func = args.pop('func')
+
+    # compiled-program reuse across CLI invocations (subcommand configs
+    # can still override/disable through the standard overlay)
+    from remixt_tpu.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     func(**args)
 
 

@@ -162,6 +162,11 @@ def main():
     model, data = build_model(args.n, args.events)
     out = {
         'N': args.n, 'restarts': args.restarts,
+        # b_* numbers scale with the restart batch; compare across
+        # revisions only at matching N/restarts (round 4 moved the
+        # default wave from R=12 to R=8, which alone shrank every b_*)
+        'shape_note': 'b_* values are per-wave at this N/restarts; '
+                      'not comparable across differing shapes',
         'backend': jax.default_backend(),
     }
 

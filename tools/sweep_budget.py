@@ -145,8 +145,10 @@ def trace_attribution(spec, params, state, R, num_sweeps=5, iters=5):
         out[name + '_ms_per_block'] = round(per_block, 3)
         out[name + '_ms_per_sweep'] = round(per_block / num_sweeps, 3)
     out['unattributed_ms_per_block'] = round(other * scale, 3)
+    # named-scope buckets only; unattributed stays a separate line so
+    # attributed + unattributed == block_device_ms
     out['sum_components_ms_per_block'] = round(
-        sum(us for us in buckets.values()) * scale + other * scale, 3)
+        sum(us for us in buckets.values()) * scale, 3)
     return out
 
 
@@ -175,6 +177,7 @@ def main():
         print(json.dumps(out, indent=2))
         with open(os.path.join(REPO, 'SWEEP_BUDGET.json'), 'w') as f:
             json.dump(out, f, indent=2)
+            f.write('\n')
         return
 
     if R > 0:
@@ -255,6 +258,7 @@ def main():
     print(json.dumps(out, indent=2))
     with open(os.path.join(REPO, 'SWEEP_BUDGET.json'), 'w') as f:
         json.dump(out, f, indent=2)
+        f.write('\n')
 
 
 if __name__ == '__main__':
