@@ -25,6 +25,9 @@ from remixt_tpu.io.hdf5 import HDFStore
 from remixt_tpu.models.fit import BreakpointModel, decode_breakpoints_naive
 
 
+_UNSET = object()
+
+
 def _load_pickle(filename):
     with open(filename, 'rb') as f:
         return pickle.load(f)
@@ -193,13 +196,16 @@ def _restart_h_init(init_params):
     ])
 
 
-def _production_mesh(config):
+def _production_mesh(config, num_restarts=None, devices=None):
     """The device mesh for the restart-sharded production fit.
 
     With more than one local device (a multi-chip TPU host) and
-    ``use_device_mesh`` unset or true, all devices go on the restart axis
+    ``use_device_mesh`` unset or true, devices go on the restart axis
     (restarts are the cheapest parallel axis — fully independent fits,
-    SURVEY §2.4). Single-device hosts run the plain batched driver.
+    SURVEY §2.4) up to the grid size; when the grid is smaller than the
+    device count the remainder factors onto the chain axis
+    (restart × chain, e.g. R=4 on 8 devices → 4×2) so no chip idles on
+    restart padding. Single-device hosts run the plain batched driver.
     Replaces the reference's per-restart cluster fan-out
     (/root/reference/remixt/workflow.py:318-340) with zero user action.
     """
@@ -207,16 +213,20 @@ def _production_mesh(config):
 
     if not remixt_tpu.config.get_param(config, 'use_device_mesh'):
         return None
-    if len(jax.devices()) <= 1:
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) <= 1:
         return None
     from remixt_tpu.parallel import distributed
-    return distributed.make_training_mesh()
+    return distributed.make_training_mesh(
+        devices=devices, num_restarts=num_restarts)
 
 
-def _fit_many_batched(experiment, init_params_dict, config):
+def _fit_many_batched(experiment, init_params_dict, config, mesh=_UNSET):
     """Chunked batched grid fit; same per-restart semantics as the
     sequential driver (see models/fit_batched.py). On multi-device hosts
-    the restart batch is sharded over the device mesh."""
+    the restart batch is sharded over the device mesh (pass ``mesh``
+    explicitly to pin a device group — the cohort driver does)."""
     from remixt_tpu.models.fit_batched import fit_restarts_batched
 
     init_ids = list(init_params_dict.keys())
@@ -224,12 +234,14 @@ def _fit_many_batched(experiment, init_params_dict, config):
     model = build_model(experiment, first, config)
     model.breakpoint_init = None
 
+    if mesh is _UNSET:
+        mesh = _production_mesh(config, num_restarts=len(init_ids))
     raw = fit_restarts_batched(
         model,
         [_restart_h_init(init_params_dict[i]) for i in init_ids],
         [init_params_dict[i]['divergence_weight'] for i in init_ids],
         chunk_size=remixt_tpu.config.get_param(config, 'restart_chunk_size'),
-        mesh=_production_mesh(config))
+        mesh=mesh)
 
     results = {}
     for init_id, restart in zip(init_ids, raw):
@@ -240,6 +252,75 @@ def _fit_many_batched(experiment, init_params_dict, config):
         model.divergence_weight = init_params_dict[init_id]['divergence_weight']
         results[init_id] = _extract_results(
             model, experiment, init_params_dict[init_id], config)
+    return results
+
+
+def fit_many_cohort(experiments, init_params_dicts, config):
+    """Fit a cohort of samples, each restart grid on its own device group.
+
+    The cohort axis is the outermost parallel dimension (SURVEY §2.4):
+    samples are fully independent, so local devices split into
+    ``min(samples, devices)`` disjoint groups and each sample's batched
+    grid fit runs on its group's mesh, one host thread per group driving
+    its devices concurrently. This is the TPU-native replacement for the
+    reference's per-``tumour_id`` cluster fan-out
+    (/root/reference/remixt/workflow.py:384-391). On multi-host runs each
+    process takes its deterministic round-robin share of the cohort
+    (parallel/distributed.cohort_partition) and returns results only for
+    that share.
+
+    Per-sample results are identical to sequential ``fit_many`` calls:
+    groups share no devices and each sample's model/spec/RNG state is
+    thread-local.
+
+    Args:
+        experiments: {sample_id: Experiment}
+        init_params_dicts: {sample_id: {init_id: params dict}}
+        config: standard config overlay
+
+    Returns {sample_id: {init_id: fit_results}} for this host's share.
+    """
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+
+    from remixt_tpu.compile_cache import enable_compilation_cache
+    from remixt_tpu.parallel import distributed
+
+    enable_compilation_cache(config)
+
+    sample_ids = distributed.cohort_partition(list(experiments.keys()))
+    devices = jax.devices()
+    n_groups = max(1, min(len(sample_ids), len(devices)))
+    groups = [list(g) for g in np.array_split(np.asarray(devices), n_groups)]
+
+    batched = remixt_tpu.config.get_param(config, 'batch_restarts') \
+        and not config.get('optimal_initialization', False)
+    if len(sample_ids) <= 1 or len(devices) <= 1 or not batched or not \
+            remixt_tpu.config.get_param(config, 'use_cohort_sharding'):
+        return {sid: fit_many(
+            experiments[sid], init_params_dicts[sid],
+            remixt_tpu.config.get_sample_config(config, sid))
+                for sid in sample_ids}
+
+    def fit_one(sid, group):
+        sample_config = remixt_tpu.config.get_sample_config(config, sid)
+        init_params_dict = init_params_dicts[sid]
+        if len(group) > 1:
+            mesh = _production_mesh(
+                sample_config, num_restarts=len(init_params_dict),
+                devices=group)
+        else:
+            mesh = None
+        return _fit_many_batched(experiments[sid], init_params_dict,
+                                 sample_config, mesh=mesh)
+
+    results = {}
+    with ThreadPoolExecutor(max_workers=n_groups) as pool:
+        futures = {
+            sid: pool.submit(fit_one, sid, groups[i % n_groups])
+            for i, sid in enumerate(sample_ids)}
+        for sid, fut in futures.items():
+            results[sid] = fut.result()
     return results
 
 

@@ -175,6 +175,12 @@ restart_chunk_size = 8
 # fan-out, workflow.py:318-340)
 use_device_mesh = True
 
+# Fit a multi-sample cohort concurrently, one disjoint device group per
+# sample (the TPU-native analogue of the reference's per-tumour cluster
+# fan-out, workflow.py:384-391); falls back to sequential per-sample fits
+# on single-device hosts
+use_cohort_sharding = True
+
 # Persist compiled XLA programs across processes: a fresh process otherwise
 # pays minutes of remote compiles before its first fit (FIT_BUDGET.json
 # full_fit_cold_s). None resolves to ~/.cache/remixt_tpu/xla_cache, or the

@@ -225,15 +225,17 @@ def _h_update_fn(spec):
     return cache['h_update']
 
 
-def _h_update_batched_fn(spec, mesh=None):
+def _h_update_batched_fn(spec, mesh=None, use_shard_map=True):
     """Jitted restart-batched h update: params/state/sample batched, the
     full-data indicator shared. With a mesh, the batch shard_maps over the
-    restart axis (parallel/restarts.shard_restart_fn)."""
+    restart axis (parallel/restarts.shard_restart_fn); on a
+    restart × chain mesh the caller passes ``use_shard_map=False`` and
+    the SPMD partitioner lays the batch out instead."""
     cache = spec._jit_cache
-    key = ('h_update_b', mesh)
+    key = ('h_update_b', mesh, use_shard_map)
     if key not in cache:
         f = jax.vmap(_make_h_update(spec), in_axes=(0, 0, 0, None))
-        if mesh is not None:
+        if mesh is not None and use_shard_map:
             from remixt_tpu.parallel import restarts as par
             f = par.shard_restart_fn(mesh, f, n_batched=3, n_replicated=1)
         cache[key] = jax.jit(f)
@@ -366,7 +368,8 @@ def _params_update_fn(spec, names, bounds):
     return cache[key]
 
 
-def _params_update_batched_fn(spec, names, bounds, mesh=None):
+def _params_update_batched_fn(spec, names, bounds, mesh=None,
+                              use_shard_map=True):
     """Jitted restart-batched likelihood-parameter update:
     params/state/samples batched per restart. With a mesh, the batch
     shard_maps over the restart axis.
@@ -376,7 +379,7 @@ def _params_update_batched_fn(spec, names, bounds, mesh=None):
     vmapping it re-gathers two (S, S) bank matrices per pair per restart
     (measured ~840 ms of a 1.24 s batched EM iteration at R=8)."""
     cache = spec._jit_cache
-    key = ('params_update_b', names, mesh)
+    key = ('params_update_b', names, mesh, use_shard_map)
     if key not in cache:
         core_b = jax.vmap(_make_params_update(spec, names, bounds))
 
@@ -388,7 +391,7 @@ def _params_update_batched_fn(spec, names, bounds, mesh=None):
                     spec, params_b, state_b, tot_b, alle_b)
             return params_b, accepts_b, elbo_b
 
-        if mesh is not None:
+        if mesh is not None and use_shard_map:
             from remixt_tpu.parallel import restarts as par
             f = par.shard_restart_fn(mesh, f, n_batched=3)
         cache[key] = jax.jit(f)
@@ -409,21 +412,24 @@ def update_params_fused(spec, params, state, names, bounds, rng,
     return params, accepts, elbo
 
 
-def update_h_fused_batched(spec, params_b, state_b, rngs, mesh=None):
+def update_h_fused_batched(spec, params_b, state_b, rngs, mesh=None,
+                           use_shard_map=True):
     """Restart-batched EM h update; one independent subsample per restart
     (matching the sequential driver's per-restart RNG streams)."""
     idxs = jnp.asarray(
         np.stack([create_sample_indices(rng, spec.N) for rng in rngs]),
         dtype=jnp.int32)
     full = jnp.ones(spec.N, dtype=spec.dtype)
-    params_b, accepts = _h_update_batched_fn(spec, mesh)(
+    params_b, accepts = _h_update_batched_fn(
+        spec, mesh, use_shard_map=use_shard_map)(
         params_b, state_b, idxs, full)
     # accepts stays on device (see update_h_fused)
     return params_b, accepts
 
 
 def update_params_fused_batched(spec, params_b, state_b, names, bounds, rngs,
-                                weights_lists=None, mesh=None):
+                                weights_lists=None, mesh=None,
+                                use_shard_map=True):
     """Restart-batched EM update of all scalar likelihood parameters.
 
     ``weights_lists[r][i]`` are restart r's posterior-responsibility
@@ -438,7 +444,7 @@ def update_params_fused_batched(spec, params_b, state_b, names, bounds, rngs,
                        else weights_lists[r][i])
             idxs[r, i] = create_sample_indices(rng, spec.N, weights)
     params_b, accepts, elbo_b = _params_update_batched_fn(
-        spec, tuple(names), bounds, mesh)(
+        spec, tuple(names), bounds, mesh, use_shard_map=use_shard_map)(
         params_b, state_b, jnp.asarray(idxs))
     # accepts/elbo stay on device (see update_params_fused)
     return params_b, accepts, elbo_b

@@ -37,29 +37,29 @@ def _slice(tree, r):
     return jax.tree.map(lambda x: x[r], tree)
 
 
-def _elbo_batched_fn(spec, mesh=None):
+def _elbo_batched_fn(spec, mesh=None, use_shard_map=True):
     cache = spec._jit_cache
-    key = ('elbo_b', mesh)
+    key = ('elbo_b', mesh, use_shard_map)
     if key not in cache:
         # the dedicated restart-batched form: emission halves vmap, the
         # transition dots share one static-bank gather across restarts
         # (vmap(calculate_elbo) re-gathers per restart — ~16x slower at
         # R=8 whole-genome)
         f = functools.partial(eng.calculate_elbo_restarts, spec)
-        if mesh is not None:
+        if mesh is not None and use_shard_map:
             from remixt_tpu.parallel import restarts as par
             f = par.shard_restart_fn(mesh, f, n_batched=2)
         cache[key] = jax.jit(f)
     return cache[key]
 
 
-def _sweeps_batched_fn(spec, num_sweeps, mesh=None):
-    key = ('sweeps_b', num_sweeps, mesh)
+def _sweeps_batched_fn(spec, num_sweeps, mesh=None, use_shard_map=True):
+    key = ('sweeps_b', num_sweeps, mesh, use_shard_map)
     cache = spec._jit_cache
     if key not in cache:
         f = functools.partial(
             eng.variational_sweeps_restarts, spec, num_sweeps=num_sweeps)
-        if mesh is not None:
+        if mesh is not None and use_shard_map:
             from remixt_tpu.parallel import restarts as par
             f = par.shard_restart_fn(mesh, f, n_batched=2)
         cache[key] = jax.jit(f)
@@ -95,15 +95,29 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=8,
     from remixt_tpu.parallel import restarts as par
 
     mesh_extent = 1
-    if mesh is not None and 'restart' in mesh.shape:
-        mesh_extent = mesh.shape['restart']
-    if mesh_extent <= 1:
+    chain_extent = 1
+    if mesh is not None:
+        mesh_extent = mesh.shape.get('restart', 1)
+        chain_extent = mesh.shape.get('chain', 1)
+    if mesh_extent * chain_extent <= 1:
         mesh = None
+        chain_extent = 1
     else:
         # chunks must split evenly over the restart devices; round the
         # chunk size up and pad the final partial chunk
         chunk_size = -(-max(chunk_size, mesh_extent) // mesh_extent) \
             * mesh_extent
+
+    # With a grid smaller than the device count the mesh factors
+    # restart × chain (analysis/pipeline._production_mesh): the chain
+    # axis shards the batched chain scan via SPMD-partitioner
+    # constraints rather than shard_map (the Pallas kernel has no
+    # partitioning rules and update_p_cn falls back to the shared-gather
+    # scan when a chain constraint is installed).
+    use_shard_map = chain_extent == 1
+    if not use_shard_map:
+        from remixt_tpu.parallel import chain as par_chain
+        par_chain.enable_chain_sharding(spec, mesh)
 
     results = []
     for begin in range(0, num_restarts, chunk_size):
@@ -145,8 +159,9 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=8,
             params_b = par.shard_restarts(mesh, params_b)
             state_b = par.shard_restarts(mesh, state_b)
 
-        sweeps_b = _sweeps_batched_fn(spec, model.num_update_iter, mesh)
-        elbo_b = _elbo_batched_fn(spec, mesh)
+        sweeps_b = _sweeps_batched_fn(spec, model.num_update_iter, mesh,
+                                      use_shard_map=use_shard_map)
+        elbo_b = _elbo_batched_fn(spec, mesh, use_shard_map=use_shard_map)
 
         # elbo bookkeeping stays on device through the loop (each host
         # pull is a relay round trip); one conversion at the end
@@ -158,7 +173,8 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=8,
 
             if model.do_h_update:
                 params_b, _ = em_mod.update_h_fused_batched(
-                    spec, params_b, state_b, rngs, mesh=mesh)
+                    spec, params_b, state_b, rngs, mesh=mesh,
+                    use_shard_map=use_shard_map)
 
             # weights computed on device for the whole chunk in ONE
             # dispatch and one (R, P, N) pull (bit-identical rows to the
@@ -169,7 +185,8 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=8,
             params_b, _, elbo = em_mod.update_params_fused_batched(
                 spec, params_b, state_b, tuple(model.likelihood_params),
                 model.likelihood_param_bounds, rngs,
-                weights_lists=weights_lists, mesh=mesh)
+                weights_lists=weights_lists, mesh=mesh,
+                use_shard_map=use_shard_map)
 
             elbo_diff = elbo - prev_elbo
             prev_elbo = elbo

@@ -311,6 +311,84 @@ def fit_all_restarts(fit_results_dir, experiment_filename, init_params, config):
     return fit_results_filenames
 
 
+def create_fit_cohort_workflow(experiment_filenames, results_filenames,
+                               config, ref_data_dir, tempdir):
+    """Multi-sample fit stage: per-sample init → ONE cohort fit task
+    (samples distributed over disjoint device groups,
+    analysis/pipeline.fit_many_cohort) → per-sample collate.
+
+    The TPU-native replacement for the reference's per-``tumour_id``
+    cluster fan-out of fit jobs (workflow.py:384-391); a single process
+    drives all devices, which also respects single-tenant accelerators
+    (two device-holding fit processes would contend for the chip).
+    """
+    workflow = Workflow('fit_cohort')
+
+    init_results_files = {}
+    init_rets = {}
+    for sample_id, experiment_filename in experiment_filenames.items():
+        sample_config = remixt_tpu.config.get_sample_config(config, sample_id)
+        init_results_file = _temp(tempdir, f'init_results_{sample_id}.h5')
+        init_results_files[sample_id] = init_results_file
+        init_rets[sample_id] = workflow.transform(
+            f'init_{sample_id}',
+            remixt_tpu.analysis.pipeline.init,
+            args=(init_results_file, experiment_filename, sample_config),
+            inputs=[experiment_filename],
+            outputs=[init_results_file],
+        )
+
+    fit_results_dir = os.path.dirname(_temp(tempdir, 'fit_results', 'x'))
+    fit_ret = workflow.transform(
+        'fit_cohort',
+        fit_cohort_restarts,
+        args=(fit_results_dir, dict(experiment_filenames), init_rets, config),
+        inputs=list(experiment_filenames.values()),
+    )
+
+    for sample_id, experiment_filename in experiment_filenames.items():
+        sample_config = remixt_tpu.config.get_sample_config(config, sample_id)
+        workflow.transform(
+            f'collate_{sample_id}',
+            remixt_tpu.analysis.pipeline.collate,
+            args=(results_filenames[sample_id], experiment_filename,
+                  init_results_files[sample_id], fit_ret[sample_id],
+                  sample_config),
+            inputs=[experiment_filename, init_results_files[sample_id]],
+            outputs=[results_filenames[sample_id]],
+        )
+
+    return workflow
+
+
+def fit_cohort_restarts(fit_results_dir, experiment_filenames,
+                        init_params_per_sample, config):
+    """Cohort fit task: every sample's restart grid, samples concurrent on
+    disjoint device groups. Returns {sample_id: {init_id: filename}}."""
+    import pickle
+
+    experiments = {}
+    for sample_id, filename in experiment_filenames.items():
+        with open(filename, 'rb') as f:
+            experiments[sample_id] = pickle.load(f)
+
+    all_results = remixt_tpu.analysis.pipeline.fit_many_cohort(
+        experiments, init_params_per_sample, config)
+
+    out = {}
+    for sample_id, sample_results in all_results.items():
+        sample_dir = os.path.join(fit_results_dir, str(sample_id))
+        os.makedirs(sample_dir, exist_ok=True)
+        out[sample_id] = {}
+        for init_id, fit_results in sample_results.items():
+            results_filename = os.path.join(
+                sample_dir, f'fit_{init_id}.pickle')
+            with open(results_filename, 'wb') as f:
+                pickle.dump(fit_results, f)
+            out[sample_id][init_id] = results_filename
+    return out
+
+
 def create_remixt_seqdata_workflow(breakpoint_filename, seqdata_filenames,
                                    results_filenames, raw_data_directory,
                                    config, ref_data_dir, normal_id=None):
@@ -383,9 +461,23 @@ def create_remixt_seqdata_workflow(breakpoint_filename, seqdata_filenames,
             outputs=[plots_file],
         )
 
-        workflow.subworkflow(f'fit_model_{tumour_id}', create_fit_model_workflow(
-            experiment_file, results_filenames[tumour_id], config, ref_data_dir,
-            os.path.join(tempdir, 'fit', str(tumour_id)), tumour_id=tumour_id))
+    # fit stage: multi-tumour cohorts go through ONE cohort fit workflow
+    # (samples over disjoint device groups — the reference's per-tumour
+    # cluster fan-out, workflow.py:384-391, as device-level SPMD); a single
+    # sample keeps the per-sample fit workflow
+    if len(tumour_ids) > 1:
+        workflow.subworkflow('fit_cohort_workflow', create_fit_cohort_workflow(
+            {tid: experiment_template.format(tumour_id=tid)
+             for tid in tumour_ids},
+            {tid: results_filenames[tid] for tid in tumour_ids},
+            config, ref_data_dir, os.path.join(tempdir, 'fit')))
+    else:
+        for tumour_id in tumour_ids:
+            workflow.subworkflow(f'fit_model_{tumour_id}', create_fit_model_workflow(
+                experiment_template.format(tumour_id=tumour_id),
+                results_filenames[tumour_id], config, ref_data_dir,
+                os.path.join(tempdir, 'fit', str(tumour_id)),
+                tumour_id=tumour_id))
 
     return workflow
 

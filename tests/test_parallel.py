@@ -365,3 +365,52 @@ def test_2d_step_h_gradient_matches_production_objective(problem):
                                        expected[i][1], rtol=1e-9)
     finally:
         spec.chain_constraint = None
+
+
+def test_production_fit_small_grid_uses_2d_mesh():
+    """A grid smaller than the device count factors restart x chain
+    (R=4 on 8 devices -> 4x2) instead of padding half the chips with
+    duplicate restarts, and the 2D fit matches the single-device batched
+    driver (VERDICT r4 item 8)."""
+    from remixt_tpu.models.fit_batched import fit_restarts_batched
+    from remixt_tpu.analysis.pipeline import _production_mesh
+
+    data = sim.simulate_experiment(
+        N=36, M=3, h=(0.08, 0.05, 0.025), cn_max=2, num_events=4,
+        num_chains=2, seed=9)
+
+    def build():
+        model = BreakpointModel(
+            data['x'], data['l'], data['adjacencies'], data['breakpoints'],
+            max_copy_number=2, max_depth=1e9, min_segment_length=1.0,
+            min_proportion_genotyped=0.0, divergence_weight=1e-7,
+            dtype=jnp.float64, random_seed=1234)
+        model.num_em_iter = 3
+        model.num_update_iter = 3
+        return model
+
+    R = 4
+    h_inits = [data['h'] * (1.0 + 0.02 * i) for i in range(R)]
+    dws = [1e-7, 1e-8, 1e-7, 1e-8]
+
+    mesh = _production_mesh({}, num_restarts=R)
+    assert mesh.shape['restart'] == 4
+    assert mesh.shape['chain'] == 2
+
+    single = fit_restarts_batched(build(), h_inits, dws, chunk_size=4)
+    meshed = fit_restarts_batched(build(), h_inits, dws, chunk_size=4,
+                                  mesh=mesh)
+
+    assert len(meshed) == R
+    for i in range(R):
+        np.testing.assert_allclose(
+            np.asarray(meshed[i]['params'].h),
+            np.asarray(single[i]['params'].h), rtol=1e-5,
+            err_msg='restart {}'.format(i))
+        np.testing.assert_allclose(
+            np.asarray(meshed[i]['state'].posterior_marginals),
+            np.asarray(single[i]['state'].posterior_marginals), atol=1e-6,
+            err_msg='restart {}'.format(i))
+        np.testing.assert_allclose(
+            meshed[i]['elbo'], single[i]['elbo'], rtol=1e-6,
+            err_msg='restart {}'.format(i))

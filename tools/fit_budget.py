@@ -140,7 +140,18 @@ def main():
     ap.add_argument('--trace', action='store_true',
                     help='named-scope attribution of one warm batched EM '
                          'iteration instead of standalone phase timings')
+    ap.add_argument('--no-cache', action='store_true',
+                    help='disable the persistent compilation cache (the '
+                         'production default is on; a second process with '
+                         'the cache warm measures deserialization-cold '
+                         'rather than compile-cold start)')
     args = ap.parse_args()
+
+    if not args.no_cache:
+        from remixt_tpu.compile_cache import enable_compilation_cache
+        cache_dir = enable_compilation_cache()
+    else:
+        cache_dir = None
 
     if args.trace:
         import jax
@@ -168,6 +179,7 @@ def main():
         'shape_note': 'b_* values are per-wave at this N/restarts; '
                       'not comparable across differing shapes',
         'backend': jax.default_backend(),
+        'compilation_cache': cache_dir,
     }
 
     # ---- single-restart fit: total, then phases at the settled state ----
