@@ -343,6 +343,62 @@ def wait_for_backend(max_attempts=2, probe_timeout=1800, retry_sleep=120):
     return False
 
 
+def roofline_analysis(spec, R, batched_segments_per_s,
+                      peak_hbm_gb_s=819.0, peak_f32_tflop_s=49.0):
+    """Bytes/FLOPs per restart-batched VI sweep from the live shapes, and
+    the achieved fraction of the binding (bandwidth) roofline.
+
+    Every byte term is a real HBM materialization of the sweep
+    (docs/DESIGN.md "Roofline"): the exp-space breakend bank dominates —
+    build write, restart-major→junction-major transpose (read+write),
+    the kernel's forward+backward junction-slab DMAs, and the q(brk)
+    update's re-read. Peak numbers are v5e (819 GB/s HBM, ~49 TFLOP/s
+    f32); pass the host's peaks for other parts.
+    """
+    plan = spec.pallas_restart_plan(R)
+    Sp, RQp = plan['Sp'], plan['Qp']
+    b = 4  # f32
+    bank = R * spec.J * Sp * Sp * b
+    streams = 6 * spec.L * RQp * Sp * b          # frames in x2 + alphas/betas out x2-ish
+    emissions = 2 * 6 * R * spec.N * spec.S * b  # write once/block + ~1 read per sweep
+    bytes_per_sweep = (
+        bank            # bank build write
+        + 2 * bank      # transpose read + write
+        + 2 * bank      # kernel slab DMA, forward + backward
+        + bank          # q(brk) xi-free contraction re-read
+        + streams + emissions / 5 + emissions / 6)
+
+    # FLOPs: semiring matmuls (static dot per step both directions +
+    # junction fix-ups) + the two big bank einsums (build + q(brk))
+    T = spec.T
+    chain = 2 * 2 * (spec.L - 1) * RQp * Sp * Sp
+    fixups = 2 * 2 * spec.J * R * Sp * Sp
+    bank_einsums = 2 * 2 * R * spec.J * spec.M * Sp * T * Sp
+    flops_per_sweep = chain + fixups + bank_einsums
+
+    sweep_s = R * spec.N / max(batched_segments_per_s, 1e-9)
+    achieved_gb_s = bytes_per_sweep / sweep_s / 1e9
+    achieved_tflop_s = flops_per_sweep / sweep_s / 1e12
+    return {
+        'restarts': R,
+        'bytes_per_sweep_gb': round(bytes_per_sweep / 1e9, 2),
+        'bank_fraction_of_bytes': round(6 * bank / bytes_per_sweep, 3),
+        'flops_per_sweep_gflop': round(flops_per_sweep / 1e9, 1),
+        'arithmetic_intensity_flop_per_byte': round(
+            flops_per_sweep / bytes_per_sweep, 2),
+        'achieved_hbm_gb_s': round(achieved_gb_s, 1),
+        'achieved_frac_of_peak_bw': round(achieved_gb_s / peak_hbm_gb_s, 3),
+        'achieved_tflop_s': round(achieved_tflop_s, 2),
+        'achieved_frac_of_peak_f32_flops': round(
+            achieved_tflop_s / peak_f32_tflop_s, 4),
+        'binding_roofline': 'hbm_bandwidth',
+        'note': ('arithmetic intensity is ~an order of magnitude below '
+                 'the f32 ridge point; the sweep is structurally '
+                 'bandwidth-bound and ~93% of its bytes are the breakend '
+                 'bank (see docs/DESIGN.md Roofline)'),
+    }
+
+
 def main():
     if '--cpu-baseline' in sys.argv:
         spec, params, state, _ = build_problem(
@@ -393,6 +449,9 @@ def main():
     parity = pallas_parity(spec, params)
     if parity is not None:
         detail['pallas_vs_scan'] = parity
+
+    detail['roofline'] = roofline_analysis(
+        spec, WAVE_RESTARTS, detail['restart_batched_segments_per_s'])
 
     log('full fit (5 EM x 5 VI)...')
     detail.update(time_full_fit(model, data))

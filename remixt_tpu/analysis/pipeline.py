@@ -48,9 +48,12 @@ def enumerate_restarts(experiment, config):
     max_copy_number = get('max_copy_number')
 
     read_depth = remixt_tpu.analysis.readdepth.calculate_depth(experiment)
-    minor_modes = remixt_tpu.analysis.readdepth.calculate_minor_modes(read_depth)
+    minor_modes, mode_masses = remixt_tpu.analysis.readdepth.calculate_minor_modes(
+        read_depth, return_masses=True)
     h_candidates = remixt_tpu.analysis.readdepth.calculate_candidate_h_monoclonal(
-        minor_modes, h_normal=get('h_normal'), h_tumour=get('h_tumour'))
+        minor_modes, h_normal=get('h_normal'), h_tumour=get('h_tumour'),
+        mode_masses=mode_masses,
+        normal_mass_tolerance=get('normal_mode_mass_tolerance'))
 
     modes = pd.DataFrame(
         [(idx, h[0], h[1]) for idx, h in enumerate(h_candidates)],

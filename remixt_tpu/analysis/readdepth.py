@@ -61,13 +61,15 @@ def calculate_depth(experiment):
     return table[defined]
 
 
-def calculate_minor_modes(read_depth, num_clusters=5, min_cluster_prop=0.01):
+def calculate_minor_modes(read_depth, num_clusters=5, min_cluster_prop=0.01,
+                          return_masses=False):
     """Modes of the length-weighted minor-allele depth distribution.
 
     Depths above the 95th percentile (amplifications) are excluded, the
     remainder resampled proportional to segment length, clustered with
     k-means, and clusters holding under ``min_cluster_prop`` of the mass
-    discarded.
+    discarded. With ``return_masses`` also returns each surviving mode's
+    mass fraction (modes sorted ascending).
     """
     minor = read_depth['minor'].values
     keep = minor < np.percentile(minor, 95)
@@ -78,27 +80,66 @@ def calculate_minor_modes(read_depth, num_clusters=5, min_cluster_prop=0.01):
     assignment = kmeans.fit_predict(samples)
     proportion = np.bincount(
         assignment, minlength=num_clusters) / float(len(assignment))
-    return kmeans.cluster_centers_[proportion >= min_cluster_prop, 0]
+    surviving = proportion >= min_cluster_prop
+    modes = kmeans.cluster_centers_[surviving, 0]
+    if not return_masses:
+        return modes
+    masses = proportion[surviving]
+    order = np.argsort(modes)
+    return modes[order], masses[order]
 
 
 def calculate_candidate_h_monoclonal(minor_modes, h_normal=None,
-                                     h_tumour=None):
+                                     h_tumour=None, mode_masses=None,
+                                     normal_mass_tolerance=0.05):
     """Candidate (normal, tumour) haploid depth pairs.
 
-    The smallest mode is taken as the normal depth unless given; every
-    higher mode yields two tumour-depth candidates — the mode offset
-    itself, and half of it (the mode may correspond to two minor copies).
+    The reference anchors the normal depth at the SMALLEST minor-depth
+    mode (readdepth.py:90-124) — which latches onto spurious low-mass
+    noise clusters under low tumour content (measured on the low-tumour
+    accuracy benchmark: two of three replicates put a 1-4%-mass cluster
+    below the true normal mode, poisoning every candidate). When
+    ``mode_masses`` is given, every mode with at most
+    ``normal_mass_tolerance`` of the distribution's mass strictly below
+    it is tried as the normal anchor instead; the ELBO-based solution
+    selection then arbitrates. ``normal_mass_tolerance=0`` (or no
+    masses) reproduces the reference's smallest-mode rule.
+
+    Per anchor, every higher mode yields two tumour-depth candidates —
+    the mode offset itself, and half of it (the mode may correspond to
+    two minor copies). Near-duplicate candidates are merged (2% rel).
     """
     minor_modes = np.asarray(minor_modes)
-    if h_normal is None:
-        h_normal = minor_modes.min()
     if h_tumour is not None:
+        if h_normal is None:
+            h_normal = minor_modes.min()
         return np.array([[h_normal, h_tumour]])
 
-    offsets = minor_modes[minor_modes > h_normal] - h_normal
-    return [np.array([h_normal, offset * scale])
-            for offset in offsets
-            for scale in (1.0, 0.5)]
+    if h_normal is not None:
+        anchors = [float(h_normal)]
+    elif mode_masses is None or normal_mass_tolerance <= 0.0:
+        anchors = [float(minor_modes.min())]
+    else:
+        order = np.argsort(minor_modes)
+        modes_sorted = minor_modes[order]
+        masses_sorted = np.asarray(mode_masses, dtype=float)[order]
+        mass_below = np.concatenate([[0.0], np.cumsum(masses_sorted)[:-1]])
+        anchors = [float(m) for m, below in zip(modes_sorted, mass_below)
+                   if below <= normal_mass_tolerance]
+
+    candidates = []
+    for anchor in anchors:
+        offsets = minor_modes[minor_modes > anchor] - anchor
+        for offset in offsets:
+            for scale in (1.0, 0.5):
+                candidates.append(np.array([anchor, offset * scale]))
+
+    deduped = []
+    for cand in candidates:
+        if not any(np.all(np.abs(cand - kept) <= 0.02 * np.abs(kept))
+                   for kept in deduped):
+            deduped.append(cand)
+    return deduped
 
 
 def estimate_ploidy(h, experiment):

@@ -55,10 +55,12 @@ def enable_compilation_cache(config=None, cache_dir=None):
         import jax
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
-        # cache every executable: entries are small next to the compile
-        # times they save, and the whole-genome programs all take >1 s
+        # cache every executable including trivial ops: through the remote
+        # compile relay even a jit_subtract costs ~0.4 s to compile
+        # (measured), and a cold fit dispatches dozens of such tiny
+        # programs — a >=1s threshold left ~half the cold start uncached
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
     except Exception as exc:  # cache is an optimization, never fatal
         logger.warning('persistent compilation cache unavailable: %s', exc)
         return None

@@ -175,6 +175,13 @@ restart_chunk_size = 8
 # fan-out, workflow.py:318-340)
 use_device_mesh = True
 
+# Try every minor-depth mode with at most this mass fraction strictly
+# below it as the normal-depth anchor of the restart grid (the reference
+# anchors only the SMALLEST mode, readdepth.py:90-124, which latches onto
+# spurious low-mass clusters under low tumour content). 0 reproduces the
+# reference's smallest-mode rule.
+normal_mode_mass_tolerance = 0.05
+
 # Fit a multi-sample cohort concurrently, one disjoint device group per
 # sample (the TPU-native analogue of the reference's per-tumour cluster
 # fan-out, workflow.py:384-391); falls back to sequential per-sample fits

@@ -46,6 +46,11 @@ FMAX_CH = CLS_CHANNELS - 1
 GROUPED_FIXUP_VPU = os.environ.get('REMIXT_TPU_FIXUP_VPU', '1') == '1'
 #   junction-slab double-buffer depth (VMEM: slots * R * Sp^2 floats)
 GROUPED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_GROUPED_SLOTS', '2'))
+#   unroll the grouped fix-up over scratch slots so every slab access has
+#   a STATIC leading index (fault bisect: the dynamic-leading-index 3D
+#   slab read is the op unique to the faulting VPU-fixup + slots>1
+#   combination at R=10/R=4 — tools/repro_grouped_fault.py)
+GROUPED_STATIC_SLOT = os.environ.get('REMIXT_TPU_STATIC_SLOT', '0') == '1'
 #   per-matrix breakend scratch depth in the restart-tiled/single kernels
 TILED_NUM_SLOTS = int(os.environ.get('REMIXT_TPU_TILED_SLOTS', '8'))
 #   scaled-linear-space recursion (classic scaled HMM): carry stays in
@@ -740,7 +745,7 @@ def _fb_kernel_grouped(g0_ref, jl_ref, js_ref,
                        frame_ref, cls_ref, static_exp_ref, be_exp_ref,
                        out_ref, carry_ref, be_scratch, sems,
                        *, kmax, num_static, reverse, num_slots, R,
-                       fixup_vpu, G):
+                       fixup_vpu, G, static_slot=False):
     """Grouped restart-tiled kernel step: per junction, one fetch of the
     (R, Sp, Sp) matrix slab and one R-lane fix-up.
 
@@ -815,72 +820,92 @@ def _fb_kernel_grouped(g0_ref, jl_ref, js_ref,
 
         g_lo = g0_ref[t]
         g_hi = g0_ref[t + 1]
-        for k in range(kmax):
 
-            @pl.when(g_lo + k < g_hi)
-            def _apply(k=k):
-                g = g_lo + k
-                slot = jax.lax.rem(g, np.int32(num_slots))
-                lane = jl_ref[g]
-                pltpu.make_async_copy(
-                    be_exp_ref.at[pl.ds(js_ref[g] * R, R)],
-                    be_scratch.at[slot],
-                    sems.at[slot]).wait()
-                # gather the slab's R lanes of (pre-update) u and cmax with
-                # a one-hot (R, Qp) selection matmul: exact, since each
-                # output row has exactly one unit coefficient
-                slab_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 0)
-                col_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 1)
-                sel = (col_iota == lane + slab_iota).astype(jnp.float32)
-                # the selection/scatter dots implement lane ADDRESSING
-                # (one unit coefficient per output row) — they must stay
-                # exact regardless of the semiring MM_PRECISION ablation,
-                # so pin them to HIGHEST
-                u_slab = jnp.dot(sel, u, preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-                cmax_slab = jnp.dot(sel, cmax,
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
-                if fixup_vpu:
-                    # batched matvec as a VPU multiply-reduce over the
-                    # resident slab: one op instead of R serial 1-row MXU
-                    # dots (each of which pays full pipeline latency)
-                    slab = be_scratch[slot, :, :, :]            # (R, Sp, Sp)
-                    if reverse:
-                        s = jnp.sum(u_slab[:, None, :] * slab, axis=2)
-                    else:
-                        s = jnp.sum(u_slab[:, :, None] * slab, axis=1)
+        def _apply_with_slot(g, slot_static):
+            """Fix-up for junction g with its scratch slot as a PYTHON int.
+
+            Factored so the static-slot variant can unroll over slots:
+            every ``be_scratch`` access then has a static leading index —
+            the dynamic-leading-index 3D slab read is the one op unique
+            to the (VPU fix-up, slots>1) combination that reproducibly
+            faults the device at R=10/R=4 (docs/DESIGN.md)."""
+            lane = jl_ref[g]
+            pltpu.make_async_copy(
+                be_exp_ref.at[pl.ds(js_ref[g] * R, R)],
+                be_scratch.at[slot_static],
+                sems.at[slot_static]).wait()
+            # gather the slab's R lanes of (pre-update) u and cmax with
+            # a one-hot (R, Qp) selection matmul: exact, since each
+            # output row has exactly one unit coefficient
+            slab_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 0)
+            col_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Qp), 1)
+            sel = (col_iota == lane + slab_iota).astype(jnp.float32)
+            # the selection/scatter dots implement lane ADDRESSING
+            # (one unit coefficient per output row) — they must stay
+            # exact regardless of the semiring MM_PRECISION ablation,
+            # so pin them to HIGHEST
+            u_slab = jnp.dot(sel, u, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            cmax_slab = jnp.dot(sel, cmax,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+            if fixup_vpu:
+                # batched matvec as a VPU multiply-reduce over the
+                # resident slab: one op instead of R serial 1-row MXU
+                # dots (each of which pays full pipeline latency)
+                slab = be_scratch[slot_static, :, :, :]     # (R, Sp, Sp)
+                if reverse:
+                    s = jnp.sum(u_slab[:, None, :] * slab, axis=2)
                 else:
-                    rows = []
-                    for r in range(R):
-                        mat = be_scratch[slot, r, :, :]
-                        if reverse:
-                            s_r = jnp.dot(u_slab[r:r + 1, :], mat.T,
-                                          preferred_element_type=jnp.float32,
-                                          precision=MM_PRECISION_PALLAS)
-                        else:
-                            s_r = jnp.dot(u_slab[r:r + 1, :], mat,
-                                          preferred_element_type=jnp.float32,
-                                          precision=MM_PRECISION_PALLAS)
-                        rows.append(s_r)
-                    s = jnp.concatenate(rows, axis=0)
-                val = jnp.log(jnp.maximum(s, TINY)) + cmax_slab
-                # scatter back to the full plane (selᵀ) and overwrite the
-                # slab's R lanes; other lanes keep their value
-                full = jnp.dot(sel.T, val,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-                if not reverse:
-                    full = full + frame_ref[0, :, :]
-                mask = (row_iota >= lane) & (row_iota < lane + R)
-                out_ref[0, :, :] = jnp.where(mask, full, out_ref[0, :, :])
-                carry_ref[:, :] = jnp.where(mask, full, carry_ref[:, :])
+                    s = jnp.sum(u_slab[:, :, None] * slab, axis=1)
+            else:
+                rows = []
+                for r in range(R):
+                    mat = be_scratch[slot_static, r, :, :]
+                    if reverse:
+                        s_r = jnp.dot(u_slab[r:r + 1, :], mat.T,
+                                      preferred_element_type=jnp.float32,
+                                      precision=MM_PRECISION_PALLAS)
+                    else:
+                        s_r = jnp.dot(u_slab[r:r + 1, :], mat,
+                                      preferred_element_type=jnp.float32,
+                                      precision=MM_PRECISION_PALLAS)
+                    rows.append(s_r)
+                s = jnp.concatenate(rows, axis=0)
+            val = jnp.log(jnp.maximum(s, TINY)) + cmax_slab
+            # scatter back to the full plane (selᵀ) and overwrite the
+            # slab's R lanes; other lanes keep their value
+            full = jnp.dot(sel.T, val,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            if not reverse:
+                full = full + frame_ref[0, :, :]
+            mask = (row_iota >= lane) & (row_iota < lane + R)
+            out_ref[0, :, :] = jnp.where(mask, full, out_ref[0, :, :])
+            carry_ref[:, :] = jnp.where(mask, full, carry_ref[:, :])
 
-                # the slot just read is free: refill with the junction
-                # num_slots ahead (same slot by construction)
-                @pl.when(g + num_slots < G)
-                def _refill():
-                    _fetch_slab(g + num_slots, slot)
+            # the slot just read is free: refill with the junction
+            # num_slots ahead (same slot by construction)
+            @pl.when(g + num_slots < G)
+            def _refill():
+                _fetch_slab(g + num_slots, slot_static)
+
+        for k in range(kmax):
+            if static_slot:
+                # unroll the fix-up over scratch slots so every VMEM slab
+                # access has a static leading index (num_slots copies of
+                # the body; num_slots is 2 by default)
+                for s_static in range(num_slots):
+                    @pl.when((g_lo + k < g_hi)
+                             & (jax.lax.rem(g_lo + k, np.int32(num_slots))
+                                == s_static))
+                    def _apply(k=k, s_static=s_static):
+                        _apply_with_slot(g_lo + k, s_static)
+            else:
+                @pl.when(g_lo + k < g_hi)
+                def _apply(k=k):
+                    g = g_lo + k
+                    _apply_with_slot(g, jax.lax.rem(g, np.int32(num_slots)))
 
 
 def _fb_kernel_grouped_scaled(g0_ref, jl_ref, js_ref,
@@ -1068,7 +1093,8 @@ def _run_direction_grouped(frame_tm, cls_onehot, static_exp, be_exp_grouped,
         kernel = functools.partial(
             _fb_kernel_grouped, kmax=kmax, num_static=num_static,
             reverse=reverse, num_slots=num_slots, R=R,
-            fixup_vpu=GROUPED_FIXUP_VPU, G=G)
+            fixup_vpu=GROUPED_FIXUP_VPU, G=G,
+            static_slot=GROUPED_STATIC_SLOT)
 
     # Both directions stream the SAME forward-time frame array; the
     # reverse recursion reads frame step L-t (the shifted reversed

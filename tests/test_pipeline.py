@@ -323,3 +323,39 @@ def test_fit_many_cohort_matches_sequential(tmp_path):
             np.testing.assert_allclose(
                 cohort[sid][init_id]['stats']['elbo'],
                 seq[init_id]['stats']['elbo'], rtol=1e-6)
+
+
+def test_candidate_h_robust_normal_anchor():
+    """A spurious low-mass depth cluster below the true normal mode must
+    not poison every candidate: modes with negligible mass below them are
+    also tried as normal anchors (VERDICT r4 item 5 — measured on the
+    low-tumour benchmark, where the reference's smallest-mode rule fails
+    two of three replicates)."""
+    import remixt_tpu.analysis.readdepth as rd
+
+    # true normal at 0.056, true tumour offset 0.024; spurious 1.3%-mass
+    # cluster at 0.038 (the low_tumour_0_1 failure shape)
+    modes = np.array([0.038, 0.056, 0.080, 0.104])
+    masses = np.array([0.013, 0.35, 0.4, 0.237])
+
+    cands = rd.calculate_candidate_h_monoclonal(
+        modes, mode_masses=masses, normal_mass_tolerance=0.05)
+    # both 0.038 (mass below 0) and 0.056 (mass below 0.013) anchor
+    anchors = {round(float(h[0]), 3) for h in cands}
+    assert anchors == {0.038, 0.056}
+    # the true (h_normal, h_tumour) pair is among the candidates
+    assert any(abs(h[0] - 0.056) < 1e-9 and abs(h[1] - 0.024) < 1e-9
+               for h in cands)
+
+    # tolerance 0 reproduces the reference's smallest-mode rule
+    ref = rd.calculate_candidate_h_monoclonal(
+        modes, mode_masses=masses, normal_mass_tolerance=0.0)
+    assert {round(float(h[0]), 3) for h in ref} == {0.038}
+    assert len(ref) == 6  # 3 higher modes x 2 scales, no dedup hits
+
+    # near-duplicate candidates from different anchors merge
+    dup_modes = np.array([0.056, 0.080])
+    dup = rd.calculate_candidate_h_monoclonal(
+        dup_modes, mode_masses=np.array([0.5, 0.5]),
+        normal_mass_tolerance=0.05)
+    assert len(dup) == 2  # (0.056, 0.024) and (0.056, 0.012) only
