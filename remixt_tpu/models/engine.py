@@ -329,7 +329,25 @@ class ModelSpec:
         cache = getattr(self, '_pallas_restart_plans', None)
         if cache is None:
             cache = self._pallas_restart_plans = {}
-        grouped = bool(getattr(self, 'pallas_grouped', True))
+        # Shape guard: the restart-batched kernels reproducibly fault the
+        # device at SOME (restart extent, chain geometry) pairs — R=10 at
+        # the bench geometry faults the sweep with the grouped kernel,
+        # with static slot indexing, with the MXU fix-up, AND with the
+        # restart-tiled kernel (round-5 bisect,
+        # tools/repro_grouped_fault.py), so the trigger sits in machinery
+        # shared by both restart-lane-packed paths, not one slab knob.
+        # The effective protection is fit_batched's uniform wave padding:
+        # production only ever dispatches the pallas_grouped_wave extent.
+        # This guard adds defense in depth for direct API users — the
+        # grouped kernel (the more complex path, and the one implicated
+        # by the R=4 tail-chunk fault) runs only at the wave extent;
+        # other extents take the restart-tiled plan.
+        wave = getattr(self, 'pallas_grouped_wave', None)
+        if wave is None:
+            import remixt_tpu.defaults as _defaults
+            wave = _defaults.restart_chunk_size
+        grouped = bool(getattr(self, 'pallas_grouped', True)) \
+            and num_restarts == wave
         key = (num_restarts, grouped)
         if key not in cache:
             from remixt_tpu.ops import fb_pallas

@@ -119,6 +119,15 @@ def fit_restarts_batched(model, h_inits, divergence_weights, chunk_size=8,
         from remixt_tpu.parallel import chain as par_chain
         par_chain.enable_chain_sharding(spec, mesh)
 
+    # every chunk below is padded to exactly chunk_size restarts, so the
+    # restart extent the kernel actually sees — per device under
+    # shard_map — is the wave the grouped kernel is validated at (the
+    # shape guard in spec.pallas_restart_plan routes other extents to
+    # the restart-tiled kernel)
+    spec.pallas_grouped_wave = (chunk_size // mesh_extent
+                                if mesh is not None and use_shard_map
+                                else chunk_size)
+
     results = []
     for begin in range(0, num_restarts, chunk_size):
         chunk = list(range(begin, min(begin + chunk_size, num_restarts)))

@@ -288,3 +288,34 @@ def test_grouped_restart_kernel_matches_batched_scan(
             got[significant], ref[significant], atol=2e-4, rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(ln), np.asarray(ln_ref), rtol=1e-5)
+
+
+def test_grouped_kernel_shape_guard():
+    """The grouped chain-major kernel runs ONLY at the production wave
+    extent; any other restart extent routes to the restart-tiled plan
+    (known device faults at some (R, geometry) pairs — VERDICT r4 item 2,
+    tools/repro_grouped_fault.py)."""
+    from remixt_tpu.models.fit import BreakpointModel
+    from remixt_tpu.simulations import simple as sim
+
+    data = sim.simulate_experiment(
+        N=30, M=3, h=(0.08, 0.05, 0.025), cn_max=2, num_events=3,
+        num_chains=2, seed=3)
+    model = BreakpointModel(
+        data['x'], data['l'], data['adjacencies'], data['breakpoints'],
+        max_copy_number=2, max_depth=1e9, min_segment_length=0.0,
+        min_proportion_genotyped=0.0, divergence_weight=1e-7,
+        dtype=jnp.float64, random_seed=0)
+    spec = model._build_spec(3)
+
+    # default wave comes from defaults.restart_chunk_size
+    import remixt_tpu.defaults as defaults
+    wave = defaults.restart_chunk_size
+    assert spec.pallas_restart_plan(wave).get('grouped', False)
+    assert not spec.pallas_restart_plan(wave + 2).get('grouped', False)
+
+    # the batched driver pins the wave to its (padded) chunk size
+    spec.pallas_grouped_wave = 4
+    spec._pallas_restart_plans = {}
+    assert spec.pallas_restart_plan(4).get('grouped', False)
+    assert not spec.pallas_restart_plan(wave).get('grouped', False)

@@ -33,6 +33,10 @@ def main():
     best = (0.0, None)
     for r in rs:
         try:
+            # probe the grouped kernel at every extent (the production
+            # shape guard would otherwise route non-wave extents to the
+            # tiled kernel — this tool exists to characterize grouped)
+            spec.pallas_grouped_wave = r
             agg = bench.time_restart_batched_sweep(spec, params, state, r)
         except Exception as exc:  # VMEM OOM past the kernel's lane budget
             note = 'vmem_oom' if 'vmem' in str(exc).lower() else 'failed'

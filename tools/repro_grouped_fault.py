@@ -47,6 +47,11 @@ def main():
     ap.add_argument('--stage', choices=('kernel', 'chain', 'sweep'),
                     default='sweep')
     ap.add_argument('--iters', type=int, default=3)
+    ap.add_argument('--guarded', action='store_true',
+                    help='leave the production shape guard active '
+                         '(spec.pallas_restart_plan routes non-wave '
+                         'extents to the tiled kernel) instead of forcing '
+                         'the grouped kernel at --r')
     args = ap.parse_args()
 
     import jax
@@ -61,6 +66,10 @@ def main():
     R = args.r
 
     spec, params, state, _ = bench.build_problem(N, events)
+    if not args.guarded:
+        # bisect mode: force the grouped kernel at this extent (the
+        # production guard would route non-wave extents to the tiled one)
+        spec.pallas_grouped_wave = R
     plan = spec.pallas_restart_plan(R)
     print(json.dumps({
         'R': R, 'N': spec.N, 'S': spec.S, 'Q': spec.Q, 'L': spec.L,
@@ -69,6 +78,7 @@ def main():
         'fixup_vpu': fb_pallas.GROUPED_FIXUP_VPU,
         'slots': fb_pallas.GROUPED_NUM_SLOTS,
         'scaled': fb_pallas.SCALED_LINEAR,
+        'static_slot': fb_pallas.GROUPED_STATIC_SLOT,
         'stage': args.stage, 'backend': jax.default_backend()}), flush=True)
 
     rng = np.random.RandomState(0)
@@ -78,20 +88,26 @@ def main():
     state_b = par.stack_pytrees([state] * R)
 
     if args.stage == 'kernel':
-        # synthetic frame with realistic magnitudes; real bank geometry
+        # synthetic frame with realistic magnitudes; real bank geometry.
+        # The bank MUST be built inside the jit: holding the multi-GB
+        # junction bank live as a jit INPUT faults spuriously
+        # (docs/DESIGN.md "Kernels must be validated through the engine
+        # path") and confounds the bisect.
         frame_b = jnp.asarray(
             rng.randn(R, spec.N, spec.S) * 5.0 - 20.0, dtype=jnp.float32)
-        be_exp_b = eng._restart_exp_bank(spec, state_b, plan)
 
         @jax.jit
-        def run(frame_b, be_exp_b):
+        def run(frame_b, p_breakpoint_b):
+            be_exp_b = jax.vmap(
+                lambda pb: eng.breakend_tmats_exp(
+                    spec, pb, pad_S=plan['Sp']))(p_breakpoint_b)
             return fb_pallas.forward_backward_chains_pallas_grouped(
                 frame_b, spec.static_bank, be_exp_b,
                 np.asarray(spec.chain_seg_map), spec.chain_last, plan)
 
-        out = run(frame_b, be_exp_b)
+        out = run(frame_b, state_b.p_breakpoint)
         for _ in range(args.iters - 1):
-            out = run(frame_b, be_exp_b)
+            out = run(frame_b, state_b.p_breakpoint)
         jax.block_until_ready(out)
         alphas, betas, log_norm = out
         print(json.dumps({'ok': True,
