@@ -33,21 +33,6 @@ GRID_POINTS = 20
 GRID_LEVELS = 3
 
 
-def _chunked_eval(one, values, group_size):
-    """Evaluate ``one`` over candidate values in vmapped groups of
-    ``group_size``, scanning across groups — caps the transient memory of
-    candidate sweeps at group_size x one-evaluation (the full vmap OOMs
-    under restart batching: 20 candidates x R restarts x (N, S)
-    emission intermediates)."""
-    grouped = values.reshape(-1, group_size)
-
-    def body(carry, group):
-        return carry, jax.vmap(one)(group)
-
-    _, objs = jax.lax.scan(body, None, grouped)
-    return objs.reshape(-1)
-
-
 def sample_size_for(num_segments):
     return max(int(min(200, num_segments / 10)), 1)
 
@@ -183,13 +168,12 @@ def _make_h_update(spec):
                 h_new = jnp.clip(h + s * (hnorm / gnorm) * g, 1e-8, 10.0)
                 return h_new, obj(h_new)
 
-            def scale_group(carry, group):
-                return carry, jax.vmap(try_scale)(group)
-
-            _, (cands, vals) = jax.lax.scan(
-                scale_group, None, scales.reshape(-1, 2))
-            cands = cands.reshape(n_scales, -1)
-            vals = vals.reshape(n_scales)
+            # all backtracking scales in ONE vmap: the objective runs on
+            # the ~200-segment subsample, so the 8-way batch is ~27 MB of
+            # transients — serializing it in scan groups (a leftover from
+            # when candidate evaluations were full-genome passes) only
+            # lengthened the in-graph critical path
+            cands, vals = jax.vmap(try_scale)(scales)
             best = jnp.argmax(vals)
             improved = vals[best] > val
             h_next = jnp.where(improved, cands[best], h)
@@ -310,7 +294,12 @@ def _make_params_update(spec, names, bounds):
                     return eng.expected_log_likelihood_indexed(
                         spec, params._replace(**{name: v}), state, sub_idx)
 
-                objs = _chunked_eval(one, values, 4)
+                # whole level in one vmap: the objective is the ~200-
+                # segment SUBSAMPLE (indexed) evaluation, so all 20
+                # candidates are ~35 MB of transients per restart — the
+                # 4-way chunking predates the indexed objective, when a
+                # level's candidates were full-genome (N, S) passes
+                objs = jax.vmap(one)(values)
                 winner = jnp.argmax(objs)
                 best = values[winner]
                 step = (hi - lo) / (points - 1)
